@@ -1,0 +1,82 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from depthmap_tpu.ops import stereo
+from tests import oracles
+
+
+def _mk(rng, h=24, w=32):
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    depth = rng.random((h, w)).astype(np.float64)
+    nd = (depth - depth.min()) / (depth.max() - depth.min())
+    return img, nd
+
+
+@pytest.mark.parametrize("div", [2.5, -2.5, 7.0])
+@pytest.mark.parametrize("sep", [0.0, 1.0])
+@pytest.mark.parametrize("exp", [1.0, 2.0])
+def test_warp_none_matches_oracle(rng, div, sep, exp):
+    img, nd = _mk(rng)
+    div_px = div / 100.0 * img.shape[1]
+    sep_px = sep / 100.0 * img.shape[1]
+    got = np.asarray(stereo.apply_stereo_divergence_naive(
+        jnp.asarray(img), jnp.asarray(nd, dtype=jnp.float32),
+        div_px, sep_px, exp, "none"))
+    want = oracles.stereo_warp_naive(img, nd, div_px, sep_px, exp, "none")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("div", [2.5, -4.0, 10.0])
+def test_warp_naive_fill_matches_oracle(rng, div):
+    img, nd = _mk(rng)
+    div_px = div / 100.0 * img.shape[1]
+    got = np.asarray(stereo.apply_stereo_divergence_naive(
+        jnp.asarray(img), jnp.asarray(nd, dtype=jnp.float32),
+        div_px, 0.0, 1.0, "naive"))
+    want = oracles.stereo_warp_naive(img, nd, div_px, 0.0, 1.0, "naive")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("div", [2.5, -4.0, 10.0])
+def test_warp_interpolating_fill_matches_oracle(rng, div):
+    img, nd = _mk(rng)
+    div_px = div / 100.0 * img.shape[1]
+    got = np.asarray(stereo.apply_stereo_divergence_naive(
+        jnp.asarray(img), jnp.asarray(nd, dtype=jnp.float32),
+        div_px, 0.0, 1.0, "naive_interpolating"))
+    want = oracles.stereo_warp_naive(img, nd, div_px, 0.0, 1.0,
+                                     "naive_interpolating")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_anaglyph(rng):
+    a = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+    b = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+    got = np.asarray(stereo.overlap_red_cyan(jnp.asarray(a), jnp.asarray(b)))
+    assert (got[..., 0] == a[..., 0]).all()
+    assert (got[..., 1] == b[..., 1]).all()
+    assert (got[..., 2] == b[..., 2]).all()
+
+
+def test_create_stereoimages_modes(rng):
+    img, nd = _mk(rng, 16, 20)
+    depth = (nd * 65535).astype(np.uint16)
+    res = stereo.create_stereoimages(
+        img, depth, 2.5, modes=["left-right", "top-bottom",
+                                "red-cyan-anaglyph", "left-only"],
+        fill_technique="naive")
+    assert res[0].shape == (16, 40, 3)
+    assert res[1].shape == (32, 20, 3)
+    assert res[2].shape == (16, 20, 3)
+    assert res[3].shape == (16, 20, 3)
+
+
+def test_balance_extremes(rng):
+    img, nd = _mk(rng, 16, 20)
+    depth = (nd * 65535).astype(np.uint16)
+    # balance=-1 -> left eye is the unmodified image
+    res = stereo.create_stereoimages(img, depth, 2.5, modes=["left-only"],
+                                     stereo_balance=-1.0,
+                                     fill_technique="naive")
+    np.testing.assert_array_equal(res[0], img)
