@@ -1,0 +1,124 @@
+"""BEiT backbone for MiDaS 3.1 (dpt_beit_large_512/384, dpt_beit_base_384).
+
+Semantics per reference dmidas/backbones/beit.py:
+ * no absolute pos-embed; every block adds a *relative position bias* to the
+   attention logits (:65-91);
+ * arbitrary input sizes are supported by bilinearly resizing each block's
+   (2Wh-1)x(2Ww-1) bias table to the new window (:29-62) — the last 3 table
+   rows (cls interactions) are kept verbatim;
+ * blocks carry LayerScale (gamma_1/gamma_2) and a q/v-only qkv bias.
+
+The relative-position *index* is a static function of the window size and is
+baked as a numpy constant at trace time; the bias gather runs on-device so
+the whole forward stays one XLA program per resolution bucket.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthmap_tpu.models.transformer import Block, PatchEmbed
+from depthmap_tpu.ops.resize import interpolate
+
+
+@functools.lru_cache(maxsize=None)
+def gen_relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """(wh*ww+1, wh*ww+1) int32 index into the bias table; the 3 extra table
+    entries encode cls->token, token->cls, cls->cls."""
+    num_rel = (2 * wh - 1) * (2 * ww - 1)
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww),
+                                  indexing="ij"))          # (2, wh, ww)
+    flat = coords.reshape(2, -1)                           # (2, wh*ww)
+    rel = flat[:, :, None] - flat[:, None, :]              # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    n = wh * ww
+    index = np.zeros((n + 1, n + 1), dtype=np.int64)
+    index[1:, 1:] = rel.sum(-1)
+    # timm layout: token-token in [0, num_rel); cls->token = num_rel;
+    # token->cls = num_rel+1; cls->cls = num_rel+2
+    index[0, 0:] = num_rel
+    index[0:, 0] = num_rel + 1
+    index[0, 0] = num_rel + 2
+    return index.astype(np.int32)
+
+
+class RelPosBias(nn.Module):
+    """Per-block relative position bias with train-window table and
+    arbitrary-window bilinear resize."""
+    num_heads: int
+    train_window: Tuple[int, int]   # (Wh, Ww) the checkpoint was trained at
+
+    @nn.compact
+    def __call__(self, window: Tuple[int, int]) -> jax.Array:
+        twh, tww = self.train_window
+        old_num = (2 * twh - 1) * (2 * tww - 1) + 3
+        table = self.param("relative_position_bias_table",
+                           nn.initializers.zeros, (old_num, self.num_heads))
+        wh, ww = window
+        new_h, new_w = 2 * wh - 1, 2 * ww - 1
+        if (wh, ww) != (twh, tww):
+            # reference resizes with the table laid out (1, W, H, C) —
+            # width-major — then bilinear to (new_h, new_w); replicate that
+            sub = table[:old_num - 3]
+            sub = sub.reshape(2 * tww - 1, 2 * twh - 1, self.num_heads)
+            sub = interpolate(sub, (new_h, new_w), "bilinear", False)
+            sub = sub.reshape(new_h * new_w, self.num_heads)
+            table = jnp.concatenate([sub, table[old_num - 3:]], axis=0)
+        # the index's 3 cls entries (num_rel..num_rel+2 for the *new* window)
+        # already point at the resized table's tail rows
+        idx = gen_relative_position_index(wh, ww)
+        bias = table[jnp.asarray(idx.reshape(-1))]
+        n = wh * ww + 1
+        bias = bias.reshape(n, n, self.num_heads)
+        return bias.transpose(2, 0, 1)[None]   # (1, H, N, N)
+
+
+class BeitBackbone(nn.Module):
+    """Returns features at the 4 hook depths (token sequences incl. cls)."""
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    hooks: Sequence[int] = (5, 11, 17, 23)
+    train_img_size: int = 512
+    patch_size: int = 16
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        tokens, (gh, gw) = PatchEmbed(self.embed_dim, self.patch_size,
+                                      name="patch_embed")(x)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.embed_dim))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls, (n, 1, self.embed_dim)), tokens], axis=1)
+
+        tw = self.train_img_size // self.patch_size
+        feats = []
+        for i in range(self.depth):
+            bias = RelPosBias(self.num_heads, (tw, tw),
+                              name=f"rel_pos_bias_{i}")((gh, gw))
+            tokens = Block(self.num_heads, self.mlp_ratio, layer_scale=True,
+                           beit_style_bias=True, name=f"block_{i}")(
+                               tokens, bias)
+            if i in self.hooks:
+                feats.append(tokens)
+        return tuple(feats), (gh, gw)
+
+
+def beit_large(img_size: int, hooks=(5, 11, 17, 23)) -> BeitBackbone:
+    return BeitBackbone(embed_dim=1024, depth=24, num_heads=16, hooks=hooks,
+                        train_img_size=img_size)
+
+
+def beit_base(img_size: int = 384, hooks=(2, 5, 8, 11)) -> BeitBackbone:
+    return BeitBackbone(embed_dim=768, depth=12, num_heads=12, hooks=hooks,
+                        train_img_size=img_size)

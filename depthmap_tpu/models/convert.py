@@ -1,0 +1,231 @@
+"""Torch-checkpoint -> flax-params conversion.
+
+The reference downloads torch checkpoints per model
+(src/depthmap_generation.py:101-260 lists files + URLs).  This module maps
+those state dicts onto our NHWC flax parameter trees.  Tensor layout rules:
+
+ * Conv2d        (O, I/g, kh, kw) -> (kh, kw, I/g, O)
+ * ConvTranspose (I, O, kh, kw)   -> (kh, kw, O, I) flipped spatially
+   (flax ConvTranspose correlates with the un-flipped kernel; torch's
+   transposed conv applies the kernel as-is on the scatter side — for our
+   stride==kernel cases the equivalence is kernel[::-1, ::-1].transpose)
+ * Linear        (O, I)           -> (I, O)
+ * BatchNorm     weight/bias -> scale/bias; running stats -> batch_stats
+
+Weights are looked up in `weights_dir` by the reference's canonical file
+names; conversion results can be cached with orbax/msgpack.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from depthmap_tpu.registry import resolve_model_type
+
+# canonical checkpoint filenames (reference depthmap_generation.py)
+CHECKPOINT_FILES = {
+    0: "res101.pth",
+    1: "dpt_beit_large_512.pt",
+    2: "dpt_beit_large_384.pt",
+    3: "dpt_large-midas-2f21e586.pt",
+    4: "dpt_hybrid-midas-501f0c75.pt",
+    5: "midas_v21-f6b98070.pt",
+    6: "midas_v21_small-70d6b9c8.pt",
+    11: "depth_anything_vitl14.pth",
+    12: "depth_anything_v2_vits.pth",
+    13: "depth_anything_v2_vitb.pth",
+    14: "depth_anything_v2_vitl.pth",
+}
+
+
+def conv_w(t) -> np.ndarray:
+    """torch conv weight -> flax kernel."""
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def convt_w(t) -> np.ndarray:
+    """torch ConvTranspose2d weight -> flax ConvTranspose kernel."""
+    a = np.asarray(t)                       # (I, O, kh, kw)
+    a = a[:, :, ::-1, ::-1]                 # flip spatial
+    return np.transpose(a, (2, 3, 0, 1))    # -> (kh, kw, I, O)
+
+
+def linear_w(t) -> np.ndarray:
+    return np.transpose(np.asarray(t), (1, 0))
+
+
+def arr(t) -> np.ndarray:
+    return np.asarray(t)
+
+
+class SDict:
+    """Thin helper over a torch state dict: typed pulls + coverage check."""
+
+    def __init__(self, sd: Dict[str, Any]):
+        self.sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+                   for k, v in sd.items()}
+        self.used = set()
+
+    def conv(self, name):
+        self.used.add(name + ".weight")
+        return conv_w(self.sd[name + ".weight"])
+
+    def conv_b(self, name):
+        self.used.add(name + ".bias")
+        return arr(self.sd[name + ".bias"])
+
+    def convt(self, name):
+        self.used.add(name + ".weight")
+        return convt_w(self.sd[name + ".weight"])
+
+    def linear(self, name):
+        self.used.add(name + ".weight")
+        return linear_w(self.sd[name + ".weight"])
+
+    def raw(self, name):
+        self.used.add(name)
+        return arr(self.sd[name])
+
+    def has(self, name):
+        return name in self.sd
+
+    def bn(self, name):
+        """-> (params {scale, bias}, stats {mean, var})."""
+        for suffix in (".weight", ".bias", ".running_mean", ".running_var"):
+            self.used.add(name + suffix)
+        return ({"scale": arr(self.sd[name + ".weight"]),
+                 "bias": arr(self.sd[name + ".bias"])},
+                {"mean": arr(self.sd[name + ".running_mean"]),
+                 "var": arr(self.sd[name + ".running_var"])})
+
+    def unused(self):
+        return [k for k in self.sd
+                if k not in self.used and not k.endswith("num_batches_tracked")]
+
+
+def _conv_entry(sd: SDict, name: str, bias: bool = True):
+    out = {"kernel": sd.conv(name)}
+    if bias and sd.has(name + ".bias"):
+        out["bias"] = sd.conv_b(name)
+    return {"conv": out}
+
+
+def _bn_entry(sd: SDict, name: str):
+    p, s = sd.bn(name)
+    return {"bn": p}, {"bn": s}
+
+
+def _cba(sd: SDict, conv_name: str, bn_name: str):
+    """ConvBnAct params+stats (ConvSame/Conv nested under the block)."""
+    p, s = sd.bn(bn_name)
+    return ({"ConvSame_0": {"conv": {"kernel": sd.conv(conv_name)}},
+             "BatchNorm_0": {"bn": p}},
+            {"BatchNorm_0": {"bn": s}})
+
+
+# --------------------------------------------------------------------------
+# midas_v21_small
+# --------------------------------------------------------------------------
+
+def convert_midas_small(sd: SDict):
+    """Map MidasNet_small checkpoint (dmidas/midas_net_custom.py layout) to
+    our MidasNetSmall tree."""
+    from depthmap_tpu.models.efficientnet import LITE3
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # encoder ------------------------------------------------------------
+    enc_p: Dict[str, Any] = {}
+    enc_s: Dict[str, Any] = {}
+    enc_p["stem"], enc_s["stem"] = _cba(sd, "pretrained.layer1.0",
+                                        "pretrained.layer1.1")
+
+    # torch grouping: layer1 = [stem, bn, act, stage0, stage1],
+    # layer2 = [stage2], layer3 = [stage3, stage4], layer4 = [stage5, stage6]
+    stage_prefix = {0: "pretrained.layer1.3", 1: "pretrained.layer1.4",
+                    2: "pretrained.layer2.0", 3: "pretrained.layer3.0",
+                    4: "pretrained.layer3.1", 5: "pretrained.layer4.0",
+                    6: "pretrained.layer4.1"}
+    for si, cfg in enumerate(LITE3):
+        for bi in range(cfg.repeats):
+            t = f"{stage_prefix[si]}.{bi}"
+            name = f"s{si}_b{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            if cfg.expand == 1:   # DSConv: conv_dw/bn1, conv_pw/bn2
+                bp["dw"], bs["dw"] = _cba(sd, f"{t}.conv_dw", f"{t}.bn1")
+                bp["pw"], bs["pw"] = _cba(sd, f"{t}.conv_pw", f"{t}.bn2")
+            else:                 # IR: conv_pw/bn1, conv_dw/bn2, conv_pwl/bn3
+                bp["pw_exp"], bs["pw_exp"] = _cba(sd, f"{t}.conv_pw",
+                                                  f"{t}.bn1")
+                bp["dw"], bs["dw"] = _cba(sd, f"{t}.conv_dw", f"{t}.bn2")
+                bp["pw_proj"], bs["pw_proj"] = _cba(sd, f"{t}.conv_pwl",
+                                                    f"{t}.bn3")
+            enc_p[name] = bp
+            enc_s[name] = bs
+    params["pretrained"] = enc_p
+    stats["pretrained"] = enc_s
+
+    # scratch + refinenets ------------------------------------------------
+    params["scratch"] = {
+        f"layer{i}_rn": {"conv": {"kernel": sd.conv(f"scratch.layer{i}_rn")}}
+        for i in (1, 2, 3, 4)}
+
+    def rcu(prefix):
+        return {"conv1": _conv_entry(sd, prefix + ".conv1"),
+                "conv2": _conv_entry(sd, prefix + ".conv2")}
+
+    for i in (1, 2, 3, 4):
+        t = f"scratch.refinenet{i}"
+        params[f"refinenet{i}"] = {
+            "out_conv": _conv_entry(sd, t + ".out_conv"),
+            "resConfUnit2": rcu(t + ".resConfUnit2"),
+            **({"resConfUnit1": rcu(t + ".resConfUnit1")} if i != 4 else {}),
+        }
+
+    params["output_conv1"] = _conv_entry(sd, "scratch.output_conv.0")
+    params["output_conv2"] = _conv_entry(sd, "scratch.output_conv.2")
+    params["output_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
+
+    return {"params": params, "batch_stats": stats}
+
+
+CONVERTERS = {
+    6: convert_midas_small,
+}
+
+
+def convert_state_dict(model_type: int, state_dict: Dict[str, Any]):
+    mt = resolve_model_type(model_type)
+    if mt not in CONVERTERS:
+        raise NotImplementedError(f"no converter for model {mt} yet")
+    sd = SDict(state_dict)
+    variables = CONVERTERS[mt](sd)
+    leftover = [k for k in sd.unused()
+                if not k.startswith(("pretrained.model.head",))]
+    if leftover:
+        import warnings
+        warnings.warn(f"{len(leftover)} unconverted tensors, e.g. "
+                      f"{leftover[:5]}")
+    import jax
+    return jax.tree.map(lambda a: np.asarray(a), variables)
+
+
+def load_converted_weights(model_type, weights_dir: str = "./models"):
+    """Load + convert the reference checkpoint for `model_type`; raises
+    FileNotFoundError when the checkpoint isn't present locally."""
+    mt = resolve_model_type(model_type)
+    fn = CHECKPOINT_FILES.get(mt)
+    if fn is None:
+        raise FileNotFoundError(f"no known checkpoint file for model {mt}")
+    path = os.path.join(weights_dir, fn)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_state_dict(mt, sd)

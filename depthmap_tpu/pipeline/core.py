@@ -1,0 +1,192 @@
+"""The generation funnel: image(s) -> depth -> all derived outputs.
+
+API-parity with the reference ``core_generation_funnel``
+(src/core.py:83-349): a generator yielding (input_index, output_type, result)
+tuples so every frontend (CLI, Gradio, REST, video mode) can stream results.
+The compute inside is TPU-native: prediction, clip/renormalize, i16
+conversion, stereo and normal maps are jitted JAX programs.
+
+Unlike the reference there is no module-global model holder; a
+``PredictorCache`` is passed (or created) explicitly.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from depthmap_tpu.options import GenerationOptions
+from depthmap_tpu.ops import numerics
+from depthmap_tpu.ops.heatmap import colorize
+from depthmap_tpu.ops.normalmap import create_normalmap
+from depthmap_tpu.ops.stereo import create_stereoimages
+from depthmap_tpu.pipeline.depth import DepthPredictor
+from depthmap_tpu.registry import resolve_model_type
+
+import jax.numpy as jnp
+
+
+class PredictorCache:
+    """Keeps the last predictor alive across funnel invocations (the
+    reference keeps models resident between runs; src/core.py:41,330-336)."""
+
+    def __init__(self):
+        self._predictor: Optional[DepthPredictor] = None
+
+    def get(self, model_type, **kw) -> DepthPredictor:
+        mt = resolve_model_type(model_type)
+        if self._predictor is None or self._predictor.model_type != mt:
+            self._predictor = DepthPredictor(mt, **kw)
+        return self._predictor
+
+    def unload(self):
+        self._predictor = None
+
+
+_default_cache = PredictorCache()
+
+
+def _ingest_custom_depthmap(dp, target_w: int, target_h: int) -> np.ndarray:
+    """Reference custom-depthmap ingest (src/core.py:145-174): resize with
+    LANCZOS, 8/16/32-bit autodetect for single-channel, /256 for RGB."""
+    if isinstance(dp, Image.Image):
+        if dp.width != target_w or dp.height != target_h:
+            try:
+                dp = dp.resize((target_w, target_h), Image.Resampling.LANCZOS)
+            except Exception:
+                dp = dp.resize((target_w, target_h))
+        if len(dp.getbands()) == 1:
+            out = np.asarray(dp, dtype="float")
+            out_max = out.max()
+            if out_max < 256:
+                bit_depth = 8
+            elif out_max < 65536:
+                bit_depth = 16
+            else:
+                bit_depth = 32
+            out = out / (2.0 ** bit_depth)
+        else:
+            out = np.asarray(dp, dtype="float")[:, :, 0] / 256.0
+    else:
+        out = np.asarray(dp, dtype="float")
+        assert out.shape[0] == target_h, "Custom depthmap height mismatch"
+        assert out.shape[1] == target_w, "Custom depthmap width mismatch"
+    return out
+
+
+def core_generation_funnel(outpath: Optional[str], inputimages: List,
+                           inputdepthmaps: Optional[List] = None,
+                           inputnames: Optional[List] = None,
+                           inp: Any = None,
+                           ops: Optional[Dict] = None,
+                           predictor_cache: Optional[PredictorCache] = None):
+    """Yields (index, output_type, result).  Result types mirror the
+    reference: 'depth' (PIL I;16), 'concat_depth', 'depth_prediction' (raw
+    np), stereo mode names, 'normalmap', 'heatmap', 'simple_mesh'."""
+    if len(inputimages) == 0 or inputimages[0] is None:
+        return
+    if inputdepthmaps is None or len(inputdepthmaps) == 0:
+        inputdepthmaps = [None] * len(inputimages)
+    inputdepthmaps_complete = all(x is not None for x in inputdepthmaps)
+    inp = GenerationOptions.from_dict(inp if inp is not None else {})
+    cache = predictor_cache or _default_cache
+
+    predictor = None
+    if not inputdepthmaps_complete:
+        predictor = cache.get(inp.model_type)
+
+    for count, image in enumerate(inputimages):
+        img = np.asarray(_to_rgb(image))
+        h, w = img.shape[:2]
+
+        raw_prediction = None
+        raw_prediction_invert = False
+        if inputdepthmaps[count] is not None:
+            out = _ingest_custom_depthmap(inputdepthmaps[count], w, h)
+        else:
+            if inp.net_size_match:
+                net_width = (w + 31) // 32 * 32
+                net_height = (h + 31) // 32 * 32
+            else:
+                net_width, net_height = inp.net_width, inp.net_height
+            raw_prediction = predictor.predict(img.astype(np.float32) / 255.0,
+                                               net_width, net_height)
+            raw_prediction_invert = predictor.raw_prediction_invert
+
+            if abs(raw_prediction.max() - raw_prediction.min()) > \
+                    np.finfo("float").eps:
+                if inp.do_output_depth_prediction:
+                    pred_out = np.copy(raw_prediction)
+                    if raw_prediction_invert:
+                        pred_out *= -1
+                    yield count, "depth_prediction", pred_out
+                out = np.asarray(numerics.finalize_depth(
+                    jnp.asarray(raw_prediction), invert=raw_prediction_invert,
+                    clip=inp.clipdepth, clip_mode=inp.clipdepth_mode,
+                    clip_far=inp.clipdepth_far, clip_near=inp.clipdepth_near))
+            else:
+                out = np.zeros(raw_prediction.shape)
+
+        img_output = np.asarray(numerics.convert_to_i16(jnp.asarray(
+            np.clip(out, 0, 1))))
+
+        if inp.do_output_depth:
+            img_depth = np.asarray(numerics.invert_i16(jnp.asarray(img_output))) \
+                if inp.output_depth_invert else img_output
+            if inp.output_depth_combine:
+                axis = 1 if inp.output_depth_combine_axis == "Horizontal" else 0
+                rgb = np.asarray(numerics.convert_i16_to_rgb(
+                    jnp.asarray(img_depth)))
+                img_concat = Image.fromarray(
+                    np.concatenate((img, rgb), axis=axis))
+                yield count, "concat_depth", img_concat
+            else:
+                yield count, "depth", Image.fromarray(img_depth, mode="I;16")
+
+        if inp.gen_stereo:
+            stereoimages = create_stereoimages(
+                img, img_output, inp.stereo_divergence, inp.stereo_separation,
+                inp.stereo_modes, inp.stereo_balance,
+                inp.stereo_offset_exponent, inp.stereo_fill_algo)
+            for c, simg in enumerate(stereoimages):
+                yield count, inp.stereo_modes[c], Image.fromarray(simg)
+
+        if inp.gen_normalmap:
+            normalmap = create_normalmap(
+                jnp.asarray(img_output),
+                inp.normalmap_pre_blur_kernel if inp.normalmap_pre_blur else None,
+                inp.normalmap_sobel_kernel if inp.normalmap_sobel else None,
+                inp.normalmap_post_blur_kernel if inp.normalmap_post_blur else None,
+                inp.normalmap_invert)
+            yield count, "normalmap", Image.fromarray(np.asarray(normalmap))
+
+        if inp.gen_heatmap:
+            heatmap = Image.fromarray(colorize(img_output, cmap="inferno"))
+            yield count, "heatmap", heatmap
+
+        if inp.gen_simple_mesh:
+            from depthmap_tpu.pipeline.mesh import create_simple_mesh_output
+            depthi = raw_prediction if raw_prediction is not None else out
+            mesh_path = create_simple_mesh_output(
+                img, depthi, outpath,
+                model_type=resolve_model_type(inp.model_type)
+                if not inputdepthmaps_complete else -1,
+                boost=inp.boost,
+                custom_depthmap=inputdepthmaps[count] is not None,
+                occlude=inp.simple_mesh_occlude,
+                spherical=inp.simple_mesh_spherical)
+            yield count, "simple_mesh", mesh_path
+
+
+def _to_rgb(image):
+    if isinstance(image, Image.Image):
+        if image.mode == "I":
+            image = image.point(lambda p: p * 0.0039063096)
+        return np.asarray(image.convert("RGB"))
+    arr = np.asarray(image)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.shape[-1] == 4:
+        arr = arr[..., :3]
+    return arr

@@ -1,0 +1,109 @@
+"""Depth prediction engine: the TPU-side replacement of the reference's
+ModelHolder + estimate* wrappers (src/depthmap_generation.py:40-401).
+
+Differences by design:
+ * pure-functional: params are an explicit pytree, the forward is a jitted
+   function cached per input-shape bucket (XLA recompile avoidance);
+ * the output upsample back to source resolution runs on-device and fuses
+   with the forward pass;
+ * batching is first-class: predict() takes one image, predict_batch() maps a
+   whole stack through one pjit-sharded call (frames/batch = data axis).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthmap_tpu.models.build import ModelBundle, build_model
+from depthmap_tpu.pipeline.preprocess import preprocess_image
+from depthmap_tpu.ops.resize import interpolate
+from depthmap_tpu.registry import MODELS, resolve_model_type
+
+
+class DepthPredictor:
+    """Loads/initializes one depth model and runs jit-compiled inference."""
+
+    def __init__(self, model_type, params: Optional[Any] = None,
+                 weights_dir: str = "./models", seed: int = 0,
+                 compute_dtype=jnp.float32):
+        self.model_type = resolve_model_type(model_type)
+        self.spec = MODELS[self.model_type]
+        self.bundle: ModelBundle = build_model(self.model_type)
+        self.compute_dtype = compute_dtype
+        self._jit_cache: Dict[Tuple, Any] = {}
+        if params is None:
+            params = self._try_load_weights(weights_dir)
+        if params is None:
+            params = self._random_init(seed)
+        self.variables = params
+
+    # -- init / weights ----------------------------------------------------
+    def _random_init(self, seed: int):
+        h = w = self.spec.resize_multiple_of * 8
+        x = jnp.zeros((1, h, w, 3), jnp.float32)
+        return self.bundle.module.init(jax.random.PRNGKey(seed), x)
+
+    def _try_load_weights(self, weights_dir: str):
+        try:
+            from depthmap_tpu.models.convert import load_converted_weights
+            return load_converted_weights(self.model_type, weights_dir)
+        except FileNotFoundError:
+            return None
+        except ImportError:
+            return None
+
+    # -- inference ---------------------------------------------------------
+    def _forward_fn(self, out_h: int, out_w: int):
+        key = (out_h, out_w)
+        if key not in self._jit_cache:
+            bundle = self.bundle
+
+            @jax.jit
+            def run(variables, x):
+                pred = bundle.module.apply(variables, x)       # (N, h', w')
+                pred = interpolate(pred[..., None], (out_h, out_w),
+                                   bundle.upsample_mode,
+                                   bundle.upsample_align_corners)[..., 0]
+                return pred
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def predict(self, img01: np.ndarray, net_w: Optional[int] = None,
+                net_h: Optional[int] = None) -> np.ndarray:
+        """img01: (H, W, 3) float RGB in [0,1] -> raw prediction (H, W).
+
+        Equivalent of ModelHolder.get_raw_prediction for one image; the raw
+        output keeps model conventions (disparity or depth — see
+        spec.predicts_depth)."""
+        if net_w is None or net_h is None:
+            net_w, net_h = self.spec.default_net_size
+        x = preprocess_image(np.asarray(img01, np.float32), net_w, net_h,
+                             self.bundle.preprocess)
+        out_h, out_w = img01.shape[:2]
+        run = self._forward_fn(out_h, out_w)
+        pred = run(self.variables, jnp.asarray(x))
+        return np.asarray(pred[0])
+
+    def predict_batch(self, imgs01: np.ndarray, net_w: Optional[int] = None,
+                      net_h: Optional[int] = None) -> np.ndarray:
+        """imgs01: (N, H, W, 3) same-shape stack -> (N, H, W) predictions.
+        One compiled call over the batch — the TPU-side fast path for
+        batch/video modes."""
+        if net_w is None or net_h is None:
+            net_w, net_h = self.spec.default_net_size
+        xs = np.concatenate([
+            preprocess_image(f, net_w, net_h, self.bundle.preprocess)
+            for f in np.asarray(imgs01, np.float32)], axis=0)
+        out_h, out_w = imgs01.shape[1:3]
+        run = self._forward_fn(out_h, out_w)
+        return np.asarray(run(self.variables, jnp.asarray(xs)))
+
+    @property
+    def raw_prediction_invert(self) -> bool:
+        """True when near objects have *small* raw values
+        (reference depthmap_generation.py:402)."""
+        return self.spec.predicts_depth

@@ -1,0 +1,82 @@
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from depthmap_tpu.options import GenerationOptions
+from depthmap_tpu.pipeline.core import core_generation_funnel
+from depthmap_tpu.pipeline.preprocess import resize_get_size
+
+
+def _img(rng, h=64, w=80):
+    return Image.fromarray((rng.random((h, w, 3)) * 255).astype(np.uint8))
+
+
+def test_resize_get_size_semantics():
+    # upper_bound keeps AR, multiple of 32, no larger than target
+    w, h = resize_get_size(640, 480, 256, 256, "upper_bound", True, 32)
+    assert w <= 256 or h <= 256
+    assert w % 32 == 0 and h % 32 == 0
+    # lower_bound at least as large
+    w, h = resize_get_size(640, 480, 256, 256, "lower_bound", True, 32)
+    assert w >= 256 and h >= 256
+    # minimal scales least
+    w, h = resize_get_size(300, 300, 256, 256, "minimal", True, 32)
+    assert w == h  # square stays square
+
+
+def test_funnel_depth_only(rng, tmp_path):
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64)
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng)], None, ["a"], inp))
+    types = [t for _, t, _ in results]
+    assert types == ["depth"]
+    depth = results[0][2]
+    assert depth.mode.startswith("I;16") or depth.mode == "I"
+    assert depth.size == (80, 64)
+
+
+def test_funnel_all_outputs(rng, tmp_path):
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64,
+                            gen_stereo=True, stereo_fill_algo="naive",
+                            gen_normalmap=True, gen_heatmap=True,
+                            gen_simple_mesh=True)
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng)], None, ["a"], inp))
+    types = [t for _, t, _ in results]
+    assert "depth" in types
+    assert "left-right" in types and "red-cyan-anaglyph" in types
+    assert "normalmap" in types and "heatmap" in types
+    assert "simple_mesh" in types
+    mesh_path = [r for _, t, r in results if t == "simple_mesh"][0]
+    assert os.path.exists(mesh_path)
+    head = open(mesh_path).read(400)
+    assert head.splitlines()[1].startswith("v ")
+
+
+def test_funnel_custom_depthmap(rng, tmp_path):
+    img = _img(rng)
+    dm = Image.fromarray((rng.random((64, 80)) * 65535).astype(np.uint16),
+                         mode="I;16")
+    inp = GenerationOptions(model_type=6)
+    results = list(core_generation_funnel(
+        str(tmp_path), [img], [dm], ["a"], inp))
+    assert results[0][1] == "depth"
+
+
+def test_funnel_options_dict_input(rng, tmp_path):
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng)], None, ["a"],
+        {"MODEL_TYPE": 6, "NET_WIDTH": 64, "NET_HEIGHT": 64,
+         "DO_OUTPUT_DEPTH": True, "unknown_junk": 42}))
+    assert results[0][1] == "depth"
+
+
+def test_funnel_combine_axis(rng, tmp_path):
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64,
+                            output_depth_combine=True)
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng)], None, ["a"], inp))
+    assert results[0][1] == "concat_depth"
+    assert results[0][2].size == (160, 64)  # horizontal concat
