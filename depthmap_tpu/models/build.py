@@ -21,6 +21,7 @@ class ModelBundle:
     upsample_mode: str = "bicubic"
     upsample_align_corners: bool = False
     predicts_depth: bool = False     # True => funnel negates before normalize
+    prep_in_model: bool = False      # resize/normalize happen inside the net
 
 
 def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
@@ -32,7 +33,8 @@ def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
         return ModelBundle(
             spec=spec, module=MidasNetSmall(),
             preprocess=PreprocessCfg(resize_mode="upper_bound",
-                                     mean=IMAGENET_MEAN, std=IMAGENET_STD),
+                                     mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                                     swap_channels=True),
             upsample_mode="bicubic", upsample_align_corners=False)
 
     if mt == 5:  # midas_v21
@@ -40,7 +42,8 @@ def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
         return ModelBundle(
             spec=spec, module=MidasNet(),
             preprocess=PreprocessCfg(resize_mode="upper_bound",
-                                     mean=IMAGENET_MEAN, std=IMAGENET_STD),
+                                     mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                                     swap_channels=True),
             upsample_mode="bicubic", upsample_align_corners=False)
 
     if mt in (1, 2, 3, 4):  # DPT family (BEiT / ViT backbones)
@@ -48,7 +51,8 @@ def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
         return ModelBundle(
             spec=spec, module=build_dpt(spec.variant),
             preprocess=PreprocessCfg(resize_mode="minimal",
-                                     mean=HALF_MEAN, std=HALF_STD),
+                                     mean=HALF_MEAN, std=HALF_STD,
+                                     swap_channels=True),
             upsample_mode="bicubic", upsample_align_corners=False)
 
     if mt == 11:  # Depth Anything v1
@@ -57,7 +61,7 @@ def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
             spec=spec, module=build_depth_anything_v1(),
             preprocess=PreprocessCfg(resize_mode="lower_bound",
                                      mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                                     multiple_of=14),
+                                     multiple_of=14, swap_channels=True),
             upsample_mode="bilinear", upsample_align_corners=False)
 
     if mt in (12, 13, 14):  # Depth Anything v2
@@ -69,22 +73,25 @@ def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
                                      multiple_of=14),
             upsample_mode="bilinear", upsample_align_corners=True)
 
-    if mt in (7, 8, 9):  # ZoeDepth
+    if mt in (7, 8, 9):  # ZoeDepth (preprocessing handled in-model)
         from depthmap_tpu.models.zoedepth import build_zoedepth
+        import cv2
         return ModelBundle(
             spec=spec, module=build_zoedepth(spec.variant),
-            preprocess=PreprocessCfg(resize_mode="minimal",
-                                     mean=HALF_MEAN, std=HALF_STD),
+            preprocess=PreprocessCfg(resize_mode="none",
+                                     swap_channels=True),
             upsample_mode="bilinear", upsample_align_corners=True,
-            predicts_depth=True)
+            predicts_depth=True, prep_in_model=True)
 
     if mt == 0:  # LeReS res101
         from depthmap_tpu.models.leres import build_leres
+        import cv2
         return ModelBundle(
             spec=spec, module=build_leres(),
             preprocess=PreprocessCfg(resize_mode="squash",
-                                     mean=IMAGENET_MEAN, std=IMAGENET_STD),
-            upsample_mode="bilinear", upsample_align_corners=False,
+                                     mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                                     interpolation=cv2.INTER_LINEAR),
+            upsample_mode="bicubic", upsample_align_corners=False,
             predicts_depth=True)
 
     if mt == 10:  # Marigold

@@ -69,12 +69,18 @@ class Reassemble(nn.Module):
 
 
 class DPTDepthModel(nn.Module):
-    """Full DPT: backbone -> reassemble -> fusion -> head."""
+    """Full DPT: backbone -> reassemble -> fusion -> head.
+
+    with_zoe_taps additionally returns the MidasCore feature taps used by
+    ZoeDepth (dzoedepth/models/base_models/midas.py:297-319: the head's
+    post-relu 32ch activation 'out_conv', layer4_rn, and the four fusion
+    outputs r4..r1)."""
     backbone: nn.Module
     reassemble_channels: Sequence[int] = (256, 512, 1024, 1024)
     features: int = 256
     non_negative: bool = True
     hybrid: bool = False   # first two features are already spatial
+    with_zoe_taps: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -101,11 +107,14 @@ class DPTDepthModel(nn.Module):
         out = Conv(self.features // 2, 3, 1, padding=1, name="head_conv1")(p1)
         out = scale2x(out, "bilinear", align_corners=True)
         out = Conv(32, 3, 1, padding=1, name="head_conv2")(out)
-        out = nn.relu(out)
-        out = Conv(1, 1, name="head_conv3")(out)
+        out_conv_act = nn.relu(out)
+        out = Conv(1, 1, name="head_conv3")(out_conv_act)
         if self.non_negative:
             out = nn.relu(out)
-        return jnp.squeeze(out, axis=-1)
+        depth = jnp.squeeze(out, axis=-1)
+        if self.with_zoe_taps:
+            return depth, (out_conv_act, r4, p4, p3, p2, p1)
+        return depth
 
 
 def build_dpt(variant: str) -> DPTDepthModel:

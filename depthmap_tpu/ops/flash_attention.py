@@ -1,0 +1,138 @@
+"""Flash attention (Pallas TPU) with additive attention bias.
+
+Replaces the reference's materialized N x N attention (BEiT:
+dmidas/backbones/beit.py:77 `attn = q @ k.T + rel_pos_bias`; DINOv2:
+dinov2_layers/attention.py:29) with an online-softmax tiled kernel: the
+scores tile lives only in VMEM, the bias streams in tile-by-tile, and
+softmax statistics are carried in f32 scratch.
+
+Supports arbitrary sequence lengths by padding to the 128-lane tile and
+masking the padded keys.  Interpret mode keeps it runnable on CPU for tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+            m_scr, l_scr, acc_scr, *, scale, kv_len, block_k, n_kv):
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)            # (bq, d)
+    k = k_ref[0, 0].astype(jnp.float32)            # (bk, d)
+    s = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (bq, bk)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+
+    # mask padded keys
+    col = kv_idx * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, _MASK_VALUE)
+
+    m_prev = m_scr[...]                            # (bq, LANES)
+    l_prev = l_scr[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)     # (bq, 1)
+    m_next = jnp.maximum(m_prev, m_curr)           # broadcast over lanes
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])                 # (bq, bk)
+    l_corr = alpha * l_prev
+    l_next = l_corr + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    v = v_ref[0, 0].astype(jnp.float32)
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
+        p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _emit():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def flash_attention(q, k, v, bias: Optional[jax.Array] = None,
+                    scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: Optional[bool] = None):
+    """q, k, v: (B, H, N, D); bias broadcastable to (B, H, N, N)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    b, h, n, d = q.shape
+    kv_len = k.shape[2]
+
+    qp = _pad_to(q, 2, block_q)
+    kp = _pad_to(k, 2, block_k)
+    vp = _pad_to(v, 2, block_k)
+    nq, nkv = qp.shape[2] // block_q, kp.shape[2] // block_k
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, qi, ki: (b_, h_, ki, 0)),
+    ]
+    args = [qp, kp, vp]
+    if bias is not None:
+        bias = jnp.broadcast_to(bias, (bias.shape[0], h, n, kv_len))
+        bias = _pad_to(_pad_to(bias, 2, block_q), 3, block_k)
+        bb = bias.shape[0]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_q, block_k),
+            lambda b_, h_, qi, ki: ((b_ if bb > 1 else 0), h_, qi, ki)))
+        args.append(bias)
+        kernel = functools.partial(_kernel, scale=scale, kv_len=kv_len,
+                                   block_k=block_k, n_kv=nkv)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o, m, l, a, **kw:
+            _kernel(qr, kr, vr, None, o, m, l, a, **kw),
+            scale=scale, kv_len=kv_len, block_k=block_k, n_kv=nkv)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        grid=(b, h, nq, nkv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h_, qi, ki: (b_, h_, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return out[:, :, :n, :]

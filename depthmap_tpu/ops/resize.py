@@ -32,9 +32,15 @@ def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _resize_matrix(in_size: int, out_size: int, mode: str,
-                   align_corners: bool) -> np.ndarray:
-    """(out_size, in_size) float32 interpolation matrix, torch semantics."""
-    if in_size == out_size:
+                   align_corners: bool,
+                   scale: float | None = None) -> np.ndarray:
+    """(out_size, in_size) float32 interpolation matrix, torch semantics.
+
+    ``scale`` reproduces torch's scale_factor path (used by DINOv2
+    pos-embed interpolation with its +0.1 offset): src = (dst+0.5)/scale-0.5
+    with the *given* scale instead of out/in.
+    """
+    if in_size == out_size and scale is None:
         return np.eye(out_size, dtype=np.float32)
     dst = np.arange(out_size, dtype=np.float64)
     if align_corners:
@@ -42,6 +48,8 @@ def _resize_matrix(in_size: int, out_size: int, mode: str,
             src = np.zeros(1)
         else:
             src = dst * (in_size - 1) / (out_size - 1)
+    elif scale is not None:
+        src = (dst + 0.5) / scale - 0.5
     else:
         src = (dst + 0.5) * in_size / out_size - 0.5
 
@@ -80,11 +88,12 @@ def _resize_matrix(in_size: int, out_size: int, mode: str,
 
 
 def interpolate(x: jax.Array, size, mode: str = "bilinear",
-                align_corners: bool = False) -> jax.Array:
+                align_corners: bool = False, scales=None) -> jax.Array:
     """torch F.interpolate parity for NHWC (or HWC / HW) arrays.
 
     ``size`` is (out_h, out_w); spatial axes are (-3, -2) for >=3D inputs,
-    (0, 1) for 2D.
+    (0, 1) for 2D.  ``scales=(sh, sw)`` forwards torch's explicit
+    scale_factor coordinate mapping.
     """
     out_h, out_w = int(size[0]), int(size[1])
     if x.ndim == 2:
@@ -92,9 +101,12 @@ def interpolate(x: jax.Array, size, mode: str = "bilinear",
     else:
         h_ax, w_ax = x.ndim - 3, x.ndim - 2
     in_h, in_w = x.shape[h_ax], x.shape[w_ax]
+    sh, sw = scales if scales is not None else (None, None)
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    Wh = jnp.asarray(_resize_matrix(in_h, out_h, mode, align_corners), dtype)
-    Ww = jnp.asarray(_resize_matrix(in_w, out_w, mode, align_corners), dtype)
+    Wh = jnp.asarray(_resize_matrix(in_h, out_h, mode, align_corners, sh),
+                     dtype)
+    Ww = jnp.asarray(_resize_matrix(in_w, out_w, mode, align_corners, sw),
+                     dtype)
     # interpolation must not degrade to bf16 on the MXU — force f32 accumulate
     y = jnp.tensordot(Wh, x.astype(dtype), axes=((1,), (h_ax,)),
                       precision="highest")

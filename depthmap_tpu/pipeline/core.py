@@ -33,15 +33,25 @@ class PredictorCache:
 
     def __init__(self):
         self._predictor: Optional[DepthPredictor] = None
+        self._boost = None
 
     def get(self, model_type, **kw) -> DepthPredictor:
         mt = resolve_model_type(model_type)
         if self._predictor is None or self._predictor.model_type != mt:
             self._predictor = DepthPredictor(mt, **kw)
+            self._boost = None
         return self._predictor
+
+    def get_boost(self, model_type, **kw):
+        from depthmap_tpu.pipeline.boost import BoostEngine
+        predictor = self.get(model_type, **kw)
+        if self._boost is None:
+            self._boost = BoostEngine(predictor)
+        return self._boost
 
     def unload(self):
         self._predictor = None
+        self._boost = None
 
 
 _default_cache = PredictorCache()
@@ -110,8 +120,13 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                 net_height = (h + 31) // 32 * 32
             else:
                 net_width, net_height = inp.net_width, inp.net_height
-            raw_prediction = predictor.predict(img.astype(np.float32) / 255.0,
-                                               net_width, net_height)
+            img01 = img.astype(np.float32) / 255.0
+            if inp.boost:
+                boost = cache.get_boost(inp.model_type)
+                raw_prediction = boost.estimate(img01)
+            else:
+                raw_prediction = predictor.predict(img01, net_width,
+                                                   net_height)
             raw_prediction_invert = predictor.raw_prediction_invert
 
             if abs(raw_prediction.max() - raw_prediction.min()) > \

@@ -57,23 +57,41 @@ class DepthPredictor:
             return None
 
     # -- inference ---------------------------------------------------------
-    def _forward_fn(self, out_h: int, out_w: int):
-        key = (out_h, out_w)
+    def _forward_fn(self, out_h: int, out_w: int,
+                    net_size: Optional[Tuple[int, int]] = None):
+        key = (out_h, out_w, net_size)
         if key not in self._jit_cache:
             bundle = self.bundle
 
-            @jax.jit
-            def run(variables, x):
-                pred = bundle.module.apply(variables, x)       # (N, h', w')
-                pred = interpolate(pred[..., None], (out_h, out_w),
-                                   bundle.upsample_mode,
-                                   bundle.upsample_align_corners)[..., 0]
-                return pred
+            if bundle.prep_in_model:
+                @jax.jit
+                def run(variables, x):
+                    return bundle.module.apply(variables, x,
+                                               net_size=net_size)
+            else:
+                @jax.jit
+                def run(variables, x):
+                    pred = bundle.module.apply(variables, x)   # (N, h', w')
+                    pred = interpolate(pred[..., None], (out_h, out_w),
+                                       bundle.upsample_mode,
+                                       bundle.upsample_align_corners)[..., 0]
+                    return pred
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _prep(self, img01: np.ndarray, net_w: int, net_h: int,
+              resize_mode: Optional[str] = None) -> np.ndarray:
+        if self.bundle.prep_in_model:
+            img01 = np.asarray(img01, np.float32)
+            if self.bundle.preprocess.swap_channels:
+                img01 = img01[:, :, ::-1]
+            return img01[None]
+        return preprocess_image(np.asarray(img01, np.float32), net_w, net_h,
+                                self.bundle.preprocess, resize_mode)
+
     def predict(self, img01: np.ndarray, net_w: Optional[int] = None,
-                net_h: Optional[int] = None) -> np.ndarray:
+                net_h: Optional[int] = None,
+                resize_mode: Optional[str] = None) -> np.ndarray:
         """img01: (H, W, 3) float RGB in [0,1] -> raw prediction (H, W).
 
         Equivalent of ModelHolder.get_raw_prediction for one image; the raw
@@ -81,26 +99,48 @@ class DepthPredictor:
         spec.predicts_depth)."""
         if net_w is None or net_h is None:
             net_w, net_h = self.spec.default_net_size
-        x = preprocess_image(np.asarray(img01, np.float32), net_w, net_h,
-                             self.bundle.preprocess)
+        x = self._prep(img01, net_w, net_h, resize_mode)
         out_h, out_w = img01.shape[:2]
-        run = self._forward_fn(out_h, out_w)
+        net_size = (net_h, net_w) if self.bundle.prep_in_model else None
+        run = self._forward_fn(out_h, out_w, net_size)
         pred = run(self.variables, jnp.asarray(x))
         return np.asarray(pred[0])
 
     def predict_batch(self, imgs01: np.ndarray, net_w: Optional[int] = None,
-                      net_h: Optional[int] = None) -> np.ndarray:
+                      net_h: Optional[int] = None,
+                      resize_mode: Optional[str] = None) -> np.ndarray:
         """imgs01: (N, H, W, 3) same-shape stack -> (N, H, W) predictions.
         One compiled call over the batch — the TPU-side fast path for
-        batch/video modes."""
+        batch/video modes and Boost patches."""
         if net_w is None or net_h is None:
             net_w, net_h = self.spec.default_net_size
         xs = np.concatenate([
-            preprocess_image(f, net_w, net_h, self.bundle.preprocess)
+            self._prep(f, net_w, net_h, resize_mode)
             for f in np.asarray(imgs01, np.float32)], axis=0)
         out_h, out_w = imgs01.shape[1:3]
-        run = self._forward_fn(out_h, out_w)
+        net_size = (net_h, net_w) if self.bundle.prep_in_model else None
+        run = self._forward_fn(out_h, out_w, net_size)
         return np.asarray(run(self.variables, jnp.asarray(xs)))
+
+    def predict_batch_list(self, imgs01: list, net_w: int, net_h: int,
+                           out_size: Tuple[int, int],
+                           resize_mode: Optional[str] = None,
+                           chunk: int = 8) -> np.ndarray:
+        """Batch differently-sized images whose *preprocessed* shapes agree
+        (e.g. square Boost patches): each is preprocessed to the net size,
+        run as one stacked forward, and upsampled on-device straight to
+        ``out_size``.  Returns (N, out_h, out_w)."""
+        xs = [self._prep(np.asarray(f, np.float32), net_w, net_h, resize_mode)
+              for f in imgs01]
+        shapes = {x.shape for x in xs}
+        assert len(shapes) == 1, f"inconsistent preprocessed shapes {shapes}"
+        xs = np.concatenate(xs, axis=0)
+        run = self._forward_fn(out_size[0], out_size[1], None)
+        outs = []
+        for i in range(0, xs.shape[0], chunk):
+            outs.append(np.asarray(run(self.variables,
+                                       jnp.asarray(xs[i:i + chunk]))))
+        return np.concatenate(outs, axis=0)
 
     @property
     def raw_prediction_invert(self) -> bool:

@@ -80,21 +80,34 @@ def resize_get_size(in_width: int, in_height: int, width: int, height: int,
 
 @dataclass(frozen=True)
 class PreprocessCfg:
-    resize_mode: str = "upper_bound"          # lower_bound|upper_bound|minimal
+    resize_mode: str = "upper_bound"  # lower_bound|upper_bound|minimal|squash
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
     multiple_of: int = 32
     keep_aspect_ratio: bool = True
     interpolation: int = cv2.INTER_CUBIC
+    # The reference converts PIL RGB with cv2.COLOR_BGR2RGB
+    # (depthmap_generation.py:381), handing *channel-swapped* images to the
+    # MiDaS/ZoeDepth/DepthAnything-v1 paths (LeReS/DA2/Marigold swap back).
+    # Replicated for output parity.
+    swap_channels: bool = False
 
 
 def preprocess_image(img01: np.ndarray, net_w: int, net_h: int,
-                     cfg: PreprocessCfg) -> np.ndarray:
+                     cfg: PreprocessCfg,
+                     resize_mode: Optional[str] = None) -> np.ndarray:
     """img01: (H, W, 3) float RGB in [0, 1] -> (1, h', w', 3) float32 NHWC."""
-    new_w, new_h = resize_get_size(img01.shape[1], img01.shape[0],
-                                   net_w, net_h, cfg.resize_mode,
-                                   cfg.keep_aspect_ratio, cfg.multiple_of)
-    resized = cv2.resize(img01.astype(np.float32), (new_w, new_h),
+    mode = resize_mode or cfg.resize_mode
+    img01 = img01.astype(np.float32)
+    if cfg.swap_channels:
+        img01 = img01[:, :, ::-1]
+    if mode == "squash":
+        new_w, new_h = net_w, net_h
+    else:
+        new_w, new_h = resize_get_size(img01.shape[1], img01.shape[0],
+                                       net_w, net_h, mode,
+                                       cfg.keep_aspect_ratio, cfg.multiple_of)
+    resized = cv2.resize(img01, (new_w, new_h),
                          interpolation=cfg.interpolation)
     out = (resized - np.asarray(cfg.mean, np.float32)) / \
         np.asarray(cfg.std, np.float32)

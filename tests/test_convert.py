@@ -180,3 +180,18 @@ def test_midas_small_converter_tree_matches_init(rng):
         jax.tree_util.tree_structure(got_shapes)
     assert jax.tree.all(jax.tree.map(lambda a, b: a == b,
                                      ref_shapes, got_shapes))
+
+
+def test_convtranspose_k4s2p1_layout(rng):
+    """pix2pix up-convs: torch ConvTranspose2d(k4,s2,p1) == flax
+    ConvTranspose(padding=(2,2)) with convt_w weights."""
+    tconv = tnn.ConvTranspose2d(5, 6, 4, stride=2, padding=1)
+    x = rng.normal(size=(1, 6, 7, 5)).astype(np.float32)
+    with torch.no_grad():
+        want = tconv(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    m = nn.ConvTranspose(6, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)))
+    got = np.asarray(m.apply(
+        {"params": {"kernel": convert.convt_w(tconv.weight.detach()),
+                    "bias": np.asarray(tconv.bias.detach())}},
+        jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-5)

@@ -1,0 +1,48 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthmap_tpu.models.dpt import DPTDepthModel
+from depthmap_tpu.models.vit import VitBackbone
+from depthmap_tpu.models.zoedepth import (ZoeDepth, ZoeDepthInference,
+                                          ZoeDepthNK)
+
+
+def _tiny_core():
+    return DPTDepthModel(
+        backbone=VitBackbone(embed_dim=32, depth=4, num_heads=2,
+                             hooks=(0, 1, 2, 3), train_grid=4),
+        reassemble_channels=(16, 32, 48, 48), features=32, with_zoe_taps=True)
+
+
+def test_zoedepth_metric_output(rng):
+    m = ZoeDepth(core=_tiny_core(), n_bins=8, bin_embedding_dim=16,
+                 max_depth=10.0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out.shape == (1, 64, 64)
+    o = np.asarray(out)
+    assert (o > 0).all()          # metric depth, positive
+
+
+def test_zoedepth_nk_routes(rng):
+    m = ZoeDepthNK(core=_tiny_core(), n_bins=8, bin_embedding_dim=16)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(m.apply)(vars_, x)
+    assert out.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zoedepth_inference_tta(rng):
+    m = ZoeDepthInference(
+        ZoeDepth(core=_tiny_core(), n_bins=8, bin_embedding_dim=16),
+        img_size=(64, 64))
+    x = jnp.asarray(rng.random((1, 50, 70, 3)), dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(vars_, x)
+    assert out.shape == (1, 50, 70)
+    assert np.isfinite(np.asarray(out)).all()
