@@ -17,6 +17,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -40,14 +41,17 @@ def main():
     def forward(variables, x):
         return bundle.module.apply(variables, x)
 
+    # distinct inputs per iteration (the axon tunnel caches identical
+    # dispatches, and block_until_ready does not force execution), and a
+    # host materialization of the last output to fence the whole queue
+    xs = [x + jnp.bfloat16(i) * jnp.bfloat16(1e-3) for i in range(iters)]
+
     # compile + warmup
-    forward(variables, x).block_until_ready()
-    forward(variables, x).block_until_ready()
+    _ = np.asarray(forward(variables, xs[0]))
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, x)
-    out.block_until_ready()
+    outs = [forward(variables, xi) for xi in xs]
+    _ = np.asarray(outs[-1])   # launches execute in order; last fences all
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -37,6 +37,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-device", default="GPU", choices=["GPU", "CPU"],
                    help="'GPU' = accelerator (TPU), parity alias")
     p.add_argument("--boost", action="store_true")
+    p.add_argument("--tiling-mode", action="store_true",
+                   help="circular conv padding for seamless tiles")
+    p.add_argument("--rembg", action="store_true",
+                   help="background removal (requires rembg)")
+    p.add_argument("--rembg-model", default="u2net")
+    p.add_argument("--inpainted-mesh", action="store_true")
+    p.add_argument("--inpainted-mesh-demos", action="store_true")
+    p.add_argument("--ui", action="store_true",
+                   help="launch the Gradio web UI (requires gradio)")
     p.add_argument("--invert-depth", action="store_true")
     p.add_argument("--combine-output", action="store_true")
     p.add_argument("--clipdepth", action="store_true")
@@ -90,6 +99,10 @@ def args_to_options(a: argparse.Namespace) -> GenerationOptions:
         gen_simple_mesh=a.mesh,
         simple_mesh_occlude=not a.mesh_no_occlude,
         simple_mesh_spherical=a.mesh_spherical,
+        tiling_mode=a.tiling_mode,
+        gen_rembg=a.rembg, rembg_model=a.rembg_model,
+        gen_inpainted_mesh=a.inpainted_mesh,
+        gen_inpainted_mesh_demos=a.inpainted_mesh_demos,
     )
 
 
@@ -120,6 +133,10 @@ def save_result(outpath: str, basename: str, output_type: str, result):
 
 def run(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.ui:
+        from depthmap_tpu.frontends.gradio_ui import launch_ui
+        launch_ui(host=args.listen, port=args.port)
+        return 0
     if args.serve:
         from depthmap_tpu.frontends.api import serve
         serve(host=args.listen, port=args.port)

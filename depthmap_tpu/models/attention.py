@@ -40,9 +40,20 @@ def _on_tpu() -> bool:
         return False
 
 
+def _flash_enabled() -> bool:
+    # Default OFF: XLA's fused attention matches the Pallas kernel's runtime
+    # at this zoo's sequence lengths (N <= ~4k), while Mosaic compilation of
+    # 24 bias-carrying flash blocks is prohibitively slow.  Opt in with
+    # DEPTHMAP_FLASH_ATTENTION=1.
+    import os
+    return os.environ.get("DEPTHMAP_FLASH_ATTENTION", "0") in ("1", "true",
+                                                               "on")
+
+
 def attention(q, k, v, bias: Optional[jax.Array] = None,
               scale: Optional[float] = None, impl: str = "auto"):
-    if impl == "xla" or (impl == "auto" and not _on_tpu()):
+    use_flash = impl == "flash" or (impl == "auto" and _flash_enabled())
+    if not use_flash:
         return attention_xla(q, k, v, bias, scale)
     try:
         from depthmap_tpu.ops.flash_attention import flash_attention

@@ -94,11 +94,12 @@ def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
             upsample_mode="bicubic", upsample_align_corners=False,
             predicts_depth=True)
 
-    if mt == 10:  # Marigold
-        from depthmap_tpu.models.marigold import build_marigold
+    if mt == 10:  # Marigold (diffusion pipeline, not a plain flax module)
+        from depthmap_tpu.models.marigold.pipeline import \
+            build_marigold_pipeline
         return ModelBundle(
-            spec=spec, module=build_marigold(),
+            spec=spec, module=build_marigold_pipeline(),
             preprocess=PreprocessCfg(resize_mode="lower_bound"),
-            predicts_depth=True)
+            predicts_depth=True, prep_in_model=True)
 
     raise NotImplementedError(f"model {spec.name} not yet implemented")

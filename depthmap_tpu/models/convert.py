@@ -193,8 +193,201 @@ def convert_midas_small(sd: SDict):
     return {"params": params, "batch_stats": stats}
 
 
+# --------------------------------------------------------------------------
+# Depth Anything v1 / v2 (DINOv2 + DPTHead)
+# --------------------------------------------------------------------------
+
+def _linear_entry(sd: SDict, name: str):
+    out = {"kernel": sd.linear(name)}
+    if sd.has(name + ".bias"):
+        out["bias"] = sd.raw(name + ".bias")
+    return out
+
+
+def _ln_entry(sd: SDict, name: str):
+    return {"scale": sd.raw(name + ".weight"),
+            "bias": sd.raw(name + ".bias")}
+
+
+def _dinov2_block(sd: SDict, t: str):
+    return {
+        "norm1": _ln_entry(sd, f"{t}.norm1"),
+        "attn": {"qkv": _linear_entry(sd, f"{t}.attn.qkv"),
+                 "proj": _linear_entry(sd, f"{t}.attn.proj")},
+        "gamma_1": sd.raw(f"{t}.ls1.gamma"),
+        "norm2": _ln_entry(sd, f"{t}.norm2"),
+        "mlp": {"fc1": _linear_entry(sd, f"{t}.mlp.fc1"),
+                "fc2": _linear_entry(sd, f"{t}.mlp.fc2")},
+        "gamma_2": sd.raw(f"{t}.ls2.gamma"),
+    }
+
+
+def _rcu(sd: SDict, prefix: str):
+    return {"conv1": _conv_entry(sd, prefix + ".conv1"),
+            "conv2": _conv_entry(sd, prefix + ".conv2")}
+
+
+def _refinenet(sd: SDict, t: str, with_rcu1: bool = True):
+    out = {"out_conv": _conv_entry(sd, t + ".out_conv"),
+           "resConfUnit2": _rcu(sd, t + ".resConfUnit2")}
+    if with_rcu1 and sd.has(t + ".resConfUnit1.conv1.weight"):
+        out["resConfUnit1"] = _rcu(sd, t + ".resConfUnit1")
+    return out
+
+
+def convert_depth_anything(sd: SDict, depth: int):
+    """DepthAnythingV2 checkpoints (also DA1's DPT_DINOv2 layout)."""
+    enc: Dict[str, Any] = {
+        "cls_token": sd.raw("pretrained.cls_token"),
+        "pos_embed": sd.raw("pretrained.pos_embed"),
+        "patch_embed": {"proj": {
+            "kernel": conv_w(sd.sd["pretrained.patch_embed.proj.weight"]),
+            "bias": sd.raw("pretrained.patch_embed.proj.bias")}},
+        "norm": _ln_entry(sd, "pretrained.norm"),
+    }
+    sd.used.add("pretrained.patch_embed.proj.weight")
+    for i in range(depth):
+        enc[f"block_{i}"] = _dinov2_block(sd, f"pretrained.blocks.{i}")
+
+    head: Dict[str, Any] = {}
+    for i in range(4):
+        head[f"project{i}"] = _conv_entry(
+            sd, f"depth_head.projects.{i}")
+    head["resize0"] = {"kernel": sd.convt("depth_head.resize_layers.0"),
+                       "bias": sd.raw("depth_head.resize_layers.0.bias")}
+    head["resize1"] = {"kernel": sd.convt("depth_head.resize_layers.1"),
+                       "bias": sd.raw("depth_head.resize_layers.1.bias")}
+    head["resize3"] = _conv_entry(sd, "depth_head.resize_layers.3")
+    head["scratch"] = {
+        f"layer{i}_rn": {"conv": {
+            "kernel": sd.conv(f"depth_head.scratch.layer{i}_rn")}}
+        for i in (1, 2, 3, 4)}
+    for i in (1, 2, 3, 4):
+        head[f"refinenet{i}"] = _refinenet(
+            sd, f"depth_head.scratch.refinenet{i}")
+    head["output_conv1"] = _conv_entry(sd, "depth_head.scratch.output_conv1")
+    head["output_conv2_0"] = _conv_entry(sd,
+                                         "depth_head.scratch.output_conv2.0")
+    head["output_conv2_2"] = _conv_entry(sd,
+                                         "depth_head.scratch.output_conv2.2")
+    return {"params": {"pretrained": enc, "depth_head": head}}
+
+
+def convert_da2_small(sd):
+    return convert_depth_anything(sd, 12)
+
+
+def convert_da2_base(sd):
+    return convert_depth_anything(sd, 12)
+
+
+def convert_da2_large(sd):
+    return convert_depth_anything(sd, 24)
+
+
+# --------------------------------------------------------------------------
+# MiDaS 3.x DPT (BEiT / ViT backbones)
+# --------------------------------------------------------------------------
+
+def _beit_block(sd: SDict, t: str, i: int):
+    block = {
+        "norm1": _ln_entry(sd, f"{t}.norm1"),
+        "attn": {"qkv": {"kernel": sd.linear(f"{t}.attn.qkv")},
+                 "q_bias": sd.raw(f"{t}.attn.q_bias"),
+                 "v_bias": sd.raw(f"{t}.attn.v_bias"),
+                 "proj": _linear_entry(sd, f"{t}.attn.proj")},
+        "gamma_1": sd.raw(f"{t}.gamma_1"),
+        "norm2": _ln_entry(sd, f"{t}.norm2"),
+        "mlp": {"fc1": _linear_entry(sd, f"{t}.mlp.fc1"),
+                "fc2": _linear_entry(sd, f"{t}.mlp.fc2")},
+        "gamma_2": sd.raw(f"{t}.gamma_2"),
+    }
+    sd.used.add(f"{t}.attn.k_bias")  # zero, non-trainable
+    rel = {"relative_position_bias_table":
+           sd.raw(f"{t}.attn.relative_position_bias_table")}
+    for k in list(sd.sd):
+        if k.startswith(f"{t}.attn.relative_position_index"):
+            sd.used.add(k)
+    return block, rel
+
+
+def _vit_block(sd: SDict, t: str):
+    return {
+        "norm1": _ln_entry(sd, f"{t}.norm1"),
+        "attn": {"qkv": _linear_entry(sd, f"{t}.attn.qkv"),
+                 "proj": _linear_entry(sd, f"{t}.attn.proj")},
+        "norm2": _ln_entry(sd, f"{t}.norm2"),
+        "mlp": {"fc1": _linear_entry(sd, f"{t}.mlp.fc1"),
+                "fc2": _linear_entry(sd, f"{t}.mlp.fc2")},
+    }
+
+
+def _dpt_decoder(sd: SDict, reassemble: bool = True):
+    out: Dict[str, Any] = {}
+    if reassemble:
+        for i in range(1, 5):
+            t = f"pretrained.act_postprocess{i}"
+            entry = {"readout": {"project": _linear_entry(sd,
+                                                          f"{t}.0.project.0")},
+                     "proj": _conv_entry(sd, f"{t}.3")}
+            if i in (1, 2):
+                entry["resize"] = {"kernel": sd.convt(f"{t}.4"),
+                                   "bias": sd.raw(f"{t}.4.bias")}
+            elif i == 4:
+                entry["resize"] = _conv_entry(sd, f"{t}.4")
+            out[f"reassemble{i}"] = entry
+    out["scratch"] = {
+        f"layer{i}_rn": {"conv": {"kernel": sd.conv(f"scratch.layer{i}_rn")}}
+        for i in (1, 2, 3, 4)}
+    for i in (1, 2, 3, 4):
+        out[f"refinenet{i}"] = _refinenet(sd, f"scratch.refinenet{i}",
+                                          with_rcu1=(i != 4))
+    out["head_conv1"] = _conv_entry(sd, "scratch.output_conv.0")
+    out["head_conv2"] = _conv_entry(sd, "scratch.output_conv.2")
+    out["head_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
+    return out
+
+
+def convert_dpt_beit(sd: SDict, depth: int = 24):
+    backbone: Dict[str, Any] = {
+        "cls_token": sd.raw("pretrained.model.cls_token"),
+        "patch_embed": {"proj": {
+            "kernel": conv_w(sd.sd["pretrained.model.patch_embed.proj.weight"]),
+            "bias": sd.raw("pretrained.model.patch_embed.proj.bias")}},
+    }
+    sd.used.add("pretrained.model.patch_embed.proj.weight")
+    for i in range(depth):
+        block, rel = _beit_block(sd, f"pretrained.model.blocks.{i}", i)
+        backbone[f"block_{i}"] = block
+        backbone[f"rel_pos_bias_{i}"] = rel
+    params = {"backbone": backbone, **_dpt_decoder(sd)}
+    return {"params": params}
+
+
+def convert_dpt_vit(sd: SDict, depth: int = 24):
+    backbone: Dict[str, Any] = {
+        "cls_token": sd.raw("pretrained.model.cls_token"),
+        "pos_embed": sd.raw("pretrained.model.pos_embed"),
+        "patch_embed": {"proj": {
+            "kernel": conv_w(sd.sd["pretrained.model.patch_embed.proj.weight"]),
+            "bias": sd.raw("pretrained.model.patch_embed.proj.bias")}},
+    }
+    sd.used.add("pretrained.model.patch_embed.proj.weight")
+    for i in range(depth):
+        backbone[f"block_{i}"] = _vit_block(sd, f"pretrained.model.blocks.{i}")
+    params = {"backbone": backbone, **_dpt_decoder(sd)}
+    return {"params": params}
+
+
 CONVERTERS = {
+    1: lambda sd: convert_dpt_beit(sd, 24),
+    2: lambda sd: convert_dpt_beit(sd, 24),
+    3: lambda sd: convert_dpt_vit(sd, 24),
     6: convert_midas_small,
+    11: convert_da2_large,   # DA1 vitl14 shares the DA2 layout
+    12: convert_da2_small,
+    13: convert_da2_base,
+    14: convert_da2_large,
 }
 
 

@@ -19,6 +19,21 @@ def relu6(x):
     return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
 
 
+# Tiling mode: the reference monkey-patches every Conv2d to circular padding
+# (src/depthmap_generation.py:251-260).  Here a trace-time flag switches the
+# padding mode of all Conv/ConvSame layers (set before building/jitting).
+_TILING_MODE = False
+
+
+def set_tiling_mode(enabled: bool) -> None:
+    global _TILING_MODE
+    _TILING_MODE = bool(enabled)
+
+
+def tiling_mode_enabled() -> bool:
+    return _TILING_MODE
+
+
 def tf_same_pads(in_size: int, k: int, s: int) -> tuple:
     """TF SAME padding (lo, hi) for one spatial dim (static shapes)."""
     if in_size % s == 0:
@@ -40,6 +55,9 @@ class ConvSame(nn.Module):
     def __call__(self, x):
         ph = tf_same_pads(x.shape[1], self.kernel, self.stride)
         pw = tf_same_pads(x.shape[2], self.kernel, self.stride)
+        if _TILING_MODE and (max(ph) > 0 or max(pw) > 0):
+            x = jnp.pad(x, ((0, 0), ph, pw, (0, 0)), mode="wrap")
+            ph = pw = (0, 0)
         return nn.Conv(self.features, (self.kernel, self.kernel),
                        strides=(self.stride, self.stride),
                        padding=(ph, pw), feature_group_count=self.groups,
@@ -59,7 +77,7 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = ((self.padding, self.padding), (self.padding, self.padding))
-        if self.circular and self.padding > 0:
+        if (self.circular or _TILING_MODE) and self.padding > 0:
             x = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)), mode="wrap")
             pad = "VALID"
         return nn.Conv(self.features, (self.kernel, self.kernel),

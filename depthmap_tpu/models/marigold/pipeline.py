@@ -1,0 +1,148 @@
+"""Marigold inference pipeline: VAE encode -> DDIM denoise -> decode ->
+ensemble.
+
+Parity with reference dmarigold/marigold/marigold_pipeline.py:
+ * RGB encoded to latent and concatenated with the evolving depth latent
+   (8ch UNet input, :300-317);
+ * conditioning = empty-prompt CLIP embedding (:239, stored here as a
+   converted parameter);
+ * decode = VAE decode then channel mean (:345-359);
+ * test-time ensembling of N affine-invariant predictions with scale/shift
+   optimization (util/ensemble.py:24) via scipy minimize;
+ * VRAM batch-size table replaced by a fixed TPU-friendly ensemble batch.
+The denoise loop runs as jitted steps; the ensemble rides the batch axis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthmap_tpu.models.marigold.ddim import DDIMScheduler
+from depthmap_tpu.models.marigold.unet import MarigoldUNet
+from depthmap_tpu.models.marigold.vae import VAE_SCALE, Decoder, Encoder
+
+
+class MarigoldPipeline:
+    def __init__(self, variables: Optional[dict] = None, seed: int = 0):
+        self.encoder = Encoder()
+        self.decoder = Decoder()
+        self.unet = MarigoldUNet()
+        self.scheduler = DDIMScheduler()
+        if variables is None:
+            variables = self._random_init(seed)
+        self.vars = variables
+        self._enc = jax.jit(self.encoder.apply)
+        self._dec = jax.jit(self.decoder.apply)
+        self._unet = jax.jit(self.unet.apply)
+
+    def _random_init(self, seed):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        x = jnp.zeros((1, 64, 64, 3))
+        z = jnp.zeros((1, 8, 8, 4))
+        u = jnp.zeros((1, 8, 8, 8))
+        ctx = jnp.zeros((1, 77, 1024))
+        return {
+            "encoder": self.encoder.init(k1, x),
+            "decoder": self.decoder.init(k2, z),
+            "unet": self.unet.init(k3, u, jnp.zeros((1,), jnp.int32), ctx),
+            "empty_text_embed": jnp.zeros((1, 77, 1024), jnp.float32),
+        }
+
+    # -- core single inference -------------------------------------------
+    def single_infer(self, rgb01: np.ndarray, denoising_steps: int,
+                     rng: jax.Array) -> np.ndarray:
+        """rgb01: (N, H, W, 3) in [0,1], H/W multiples of 8 ->
+        (N, H, W) depth in [0,1]."""
+        rgb_norm = jnp.asarray(rgb01) * 2.0 - 1.0
+        mean, _ = self._enc(self.vars["encoder"], rgb_norm)
+        rgb_latent = mean * VAE_SCALE
+
+        n, lh, lw, _ = rgb_latent.shape
+        depth_latent = jax.random.normal(rng, (n, lh, lw, 4),
+                                         dtype=rgb_latent.dtype)
+        ctx = jnp.broadcast_to(self.vars["empty_text_embed"], (n, 77, 1024))
+
+        timesteps = self.scheduler.set_timesteps(denoising_steps)
+        for t in timesteps:
+            unet_in = jnp.concatenate([rgb_latent, depth_latent], axis=-1)
+            noise_pred = self._unet(self.vars["unet"], unet_in,
+                                    jnp.full((n,), t, jnp.int32), ctx)
+            depth_latent, _ = self.scheduler.step(noise_pred, int(t),
+                                                  depth_latent)
+
+        depth = self._dec(self.vars["decoder"], depth_latent / VAE_SCALE)
+        depth = jnp.mean(depth, axis=-1)          # channel mean (:353)
+        depth = jnp.clip(depth * 0.5 + 0.5, 0.0, 1.0)
+        return np.asarray(depth)
+
+    def __call__(self, rgb01: np.ndarray, processing_res: int = 768,
+                 ensemble_size: int = 5, denoising_steps: int = 12,
+                 seed: int = 0, match_input_res: bool = False) -> np.ndarray:
+        """rgb01: (H, W, 3) float in [0,1] -> (h', w') depth in [0,1]."""
+        import cv2
+        h, w = rgb01.shape[:2]
+        scale = processing_res / max(h, w)
+        nh = max(int(round(h * scale / 8)) * 8, 8)
+        nw = max(int(round(w * scale / 8)) * 8, 8)
+        rgb = cv2.resize(rgb01.astype(np.float32), (nw, nh),
+                         interpolation=cv2.INTER_CUBIC).clip(0, 1)
+
+        batch = np.repeat(rgb[None], ensemble_size, axis=0)
+        rngs = jax.random.split(jax.random.PRNGKey(seed), ensemble_size)
+        # ensemble members share one batched denoise (TPU batch axis)
+        preds = []
+        for i in range(ensemble_size):
+            preds.append(self.single_infer(batch[i:i + 1], denoising_steps,
+                                           rngs[i])[0])
+        preds = np.stack(preds)
+        depth = ensemble_depths(preds) if ensemble_size > 1 else preds[0]
+        if match_input_res:
+            depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_CUBIC)
+        return depth
+
+
+def ensemble_depths(preds: np.ndarray, max_iter: int = 10,
+                    tol: float = 1e-3) -> np.ndarray:
+    """Align affine-invariant predictions by per-member scale/shift that
+    minimize pairwise distances, then average
+    (reference dmarigold/marigold/util/ensemble.py:24-80)."""
+    from scipy.optimize import minimize
+
+    n = preds.shape[0]
+    orig = preds.copy()
+    mins = orig.reshape(n, -1).min(1)
+    maxs = orig.reshape(n, -1).max(1)
+    s_init = 1.0 / np.clip(maxs - mins, 1e-6, None)
+    t_init = -s_init * mins
+
+    small = np.stack([p[::8, ::8] for p in orig])
+
+    def cost(x):
+        s, t = x[:n], x[n:]
+        aligned = small * s[:, None, None] + t[:, None, None]
+        c = 0.0
+        for i in range(n):
+            for j in range(i + 1, n):
+                c += np.sqrt(np.mean((aligned[i] - aligned[j]) ** 2))
+        return c
+
+    res = minimize(cost, np.concatenate([s_init, t_init]),
+                   method="BFGS", tol=tol, options={"maxiter": max_iter})
+    s, t = res.x[:n], res.x[n:]
+    aligned = orig * s[:, None, None] + t[:, None, None]
+    merged = np.mean(aligned, axis=0)
+    lo, hi = merged.min(), merged.max()
+    return (merged - lo) / (hi - lo) if hi > lo else merged * 0
+
+
+def build_marigold_pipeline(variables=None) -> MarigoldPipeline:
+    return MarigoldPipeline(variables)
+
+
+def build_marigold():
+    """ModelBundle hook — the pipeline object itself (not a flax module)."""
+    return MarigoldPipeline()

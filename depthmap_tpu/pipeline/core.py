@@ -35,10 +35,13 @@ class PredictorCache:
         self._predictor: Optional[DepthPredictor] = None
         self._boost = None
 
-    def get(self, model_type, **kw) -> DepthPredictor:
+    def get(self, model_type, tiling_mode: bool = False,
+            **kw) -> DepthPredictor:
         mt = resolve_model_type(model_type)
-        if self._predictor is None or self._predictor.model_type != mt:
-            self._predictor = DepthPredictor(mt, **kw)
+        if self._predictor is None or self._predictor.model_type != mt or \
+                self._predictor.tiling_mode != tiling_mode:
+            self._predictor = DepthPredictor(mt, tiling_mode=tiling_mode,
+                                             **kw)
             self._boost = None
         return self._predictor
 
@@ -102,9 +105,27 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
     inp = GenerationOptions.from_dict(inp if inp is not None else {})
     cache = predictor_cache or _default_cache
 
+    background_removed_images = []
+    if inp.gen_rembg:
+        from depthmap_tpu.pipeline.rembg_integration import (
+            batched_background_removal, rembg_available)
+        if not rembg_available():
+            print("rembg is not installed; skipping background removal")
+            inp = inp.replace(gen_rembg=False)
+        elif inp.pre_depth_background_removal:
+            inputimages = batched_background_removal(
+                [_as_pil(i) for i in inputimages], inp.rembg_model)
+            background_removed_images = inputimages
+        else:
+            background_removed_images = batched_background_removal(
+                [_as_pil(i) for i in inputimages], inp.rembg_model)
+
     predictor = None
     if not inputdepthmaps_complete:
-        predictor = cache.get(inp.model_type)
+        predictor = cache.get(inp.model_type, tiling_mode=inp.tiling_mode)
+
+    inpaint_imgs = []
+    inpaint_depths = []
 
     for count, image in enumerate(inputimages):
         img = np.asarray(_to_rgb(image))
@@ -146,6 +167,21 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
         img_output = np.asarray(numerics.convert_to_i16(jnp.asarray(
             np.clip(out, 0, 1))))
 
+        if inp.gen_inpainted_mesh:
+            inpaint_imgs.append(img)
+            inpaint_depths.append(img_output)
+
+        if inp.gen_rembg and background_removed_images:
+            from depthmap_tpu.pipeline.rembg_integration import (
+                background_mask, foreground_mask_image)
+            bri = background_removed_images[count]
+            bg_mask = background_mask(bri)
+            img_output = img_output.copy()
+            img_output[bg_mask] = 0  # far value
+            yield count, "background_removed", bri
+            if inp.save_background_removal_masks:
+                yield count, "foreground_mask", foreground_mask_image(bg_mask)
+
         if inp.do_output_depth:
             img_depth = np.asarray(numerics.invert_i16(jnp.asarray(img_output))) \
                 if inp.output_depth_invert else img_output
@@ -157,7 +193,7 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                     np.concatenate((img, rgb), axis=axis))
                 yield count, "concat_depth", img_concat
             else:
-                yield count, "depth", Image.fromarray(img_depth, mode="I;16")
+                yield count, "depth", Image.fromarray(img_depth)  # I;16
 
         if inp.gen_stereo:
             stereoimages = create_stereoimages(
@@ -192,6 +228,22 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                 occlude=inp.simple_mesh_occlude,
                 spherical=inp.simple_mesh_spherical)
             yield count, "simple_mesh", mesh_path
+
+    if inp.gen_inpainted_mesh and inpaint_imgs:
+        from depthmap_tpu.pipeline.inpaint_video import run_3dphoto
+        try:
+            mesh_fi = run_3dphoto(None, inpaint_imgs, inpaint_depths,
+                                  inputnames, outpath or ".",
+                                  inp.gen_inpainted_mesh_demos, 1, "mp4")
+            yield 0, "inpainted_mesh", mesh_fi
+        except Exception as e:
+            print(f"{e}, some issue with generating inpainted mesh")
+
+
+def _as_pil(image):
+    if isinstance(image, Image.Image):
+        return image
+    return Image.fromarray(np.asarray(image))
 
 
 def _to_rgb(image):

@@ -29,12 +29,21 @@ class DepthPredictor:
 
     def __init__(self, model_type, params: Optional[Any] = None,
                  weights_dir: str = "./models", seed: int = 0,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, tiling_mode: bool = False,
+                 marigold_ensembles: int = 5, marigold_steps: int = 12):
+        from depthmap_tpu.models.layers import set_tiling_mode
         self.model_type = resolve_model_type(model_type)
         self.spec = MODELS[self.model_type]
+        self.tiling_mode = tiling_mode
+        self.marigold_ensembles = marigold_ensembles
+        self.marigold_steps = marigold_steps
+        set_tiling_mode(tiling_mode)  # trace-time flag for all convs
         self.bundle: ModelBundle = build_model(self.model_type)
         self.compute_dtype = compute_dtype
         self._jit_cache: Dict[Tuple, Any] = {}
+        if self.model_type == 10:   # Marigold pipeline manages its own state
+            self.variables = None
+            return
         if params is None:
             params = self._try_load_weights(weights_dir)
         if params is None:
@@ -99,6 +108,14 @@ class DepthPredictor:
         spec.predicts_depth)."""
         if net_w is None or net_h is None:
             net_w, net_h = self.spec.default_net_size
+        if self.model_type == 10:   # Marigold (estimatemarigold :504-513)
+            import cv2
+            depth = self.bundle.module(
+                np.asarray(img01, np.float32), processing_res=net_w,
+                ensemble_size=self.marigold_ensembles,
+                denoising_steps=self.marigold_steps, match_input_res=False)
+            return cv2.resize(depth, (img01.shape[1], img01.shape[0]),
+                              interpolation=cv2.INTER_CUBIC)
         x = self._prep(img01, net_w, net_h, resize_mode)
         out_h, out_w = img01.shape[:2]
         net_size = (net_h, net_w) if self.bundle.prep_in_model else None
