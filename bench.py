@@ -22,8 +22,8 @@ import numpy as np
 
 def main():
     small = os.environ.get("BENCH_SMALL", "0") == "1"
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    iters = int(os.environ.get("BENCH_ITERS", "2" if small else "10"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "2" if small else "5"))
     size = 128 if small else 512
     model_id = 6 if small else 1  # midas_small for smoke, beit_large_512 real
 

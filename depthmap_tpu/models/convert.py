@@ -379,10 +379,115 @@ def convert_dpt_vit(sd: SDict, depth: int = 24):
     return {"params": params}
 
 
+# --------------------------------------------------------------------------
+# midas_v21 (ResNeXt101-WSL + classic FeatureFusion)
+# --------------------------------------------------------------------------
+
+def _bn_pair(sd: SDict, name: str):
+    p, s = sd.bn(name)
+    return {"bn": p}, {"bn": s}
+
+
+def _bottleneck(sd: SDict, t: str):
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        p[f"conv{i}"] = {"conv": {"kernel": sd.conv(f"{t}.conv{i}")}}
+        p[f"bn{i}"], s[f"bn{i}"] = _bn_pair(sd, f"{t}.bn{i}")
+    if sd.has(f"{t}.downsample.0.weight"):
+        p["downsample_conv"] = {"conv": {
+            "kernel": sd.conv(f"{t}.downsample.0")}}
+        p["downsample_bn"], s["downsample_bn"] = _bn_pair(
+            sd, f"{t}.downsample.1")
+    return p, s
+
+
+def convert_midas_v21(sd: SDict, layers=(3, 4, 23, 3)):
+    """MidasNet checkpoint (dmidas/midas_net.py + blocks.py:193-207 split:
+    layer1 = [conv1, bn1, relu, maxpool, resnet.layer1])."""
+    enc_p: Dict[str, Any] = {
+        "conv1": {"conv": {"kernel": sd.conv("pretrained.layer1.0")}}}
+    enc_s: Dict[str, Any] = {}
+    enc_p["bn1"], enc_s["bn1"] = _bn_pair(sd, "pretrained.layer1.1")
+    prefix = {0: "pretrained.layer1.4", 1: "pretrained.layer2",
+              2: "pretrained.layer3", 3: "pretrained.layer4"}
+    for li, n in enumerate(layers):
+        for bi in range(n):
+            p, s = _bottleneck(sd, f"{prefix[li]}.{bi}")
+            enc_p[f"layer{li + 1}_{bi}"] = p
+            enc_s[f"layer{li + 1}_{bi}"] = s
+
+    params: Dict[str, Any] = {"pretrained": enc_p}
+    params["scratch"] = {
+        f"layer{i}_rn": {"conv": {"kernel": sd.conv(f"scratch.layer{i}_rn")}}
+        for i in (1, 2, 3, 4)}
+    for i in (1, 2, 3, 4):
+        t = f"scratch.refinenet{i}"
+        entry = {"resConfUnit2": _rcu(sd, t + ".resConfUnit2")}
+        if sd.has(t + ".resConfUnit1.conv1.weight"):
+            entry["resConfUnit1"] = _rcu(sd, t + ".resConfUnit1")
+        params[f"refinenet{i}"] = entry
+    params["output_conv1"] = _conv_entry(sd, "scratch.output_conv.0")
+    params["output_conv2"] = _conv_entry(sd, "scratch.output_conv.2")
+    params["output_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
+    return {"params": params, "batch_stats": {"pretrained": enc_s}}
+
+
+# --------------------------------------------------------------------------
+# pix2pix merge net (recursive UnetSkipConnectionBlock naming)
+# --------------------------------------------------------------------------
+
+def convert_pix2pix(sd: SDict, num_downs: int = 10):
+    """latest_net_G.pth: nested Sequential names — outermost
+    model.model.[0 conv|1 submodule|3 upconv]; mid levels
+    ...model.[1 conv|2 bn|3 submodule|5 upconv|6 upbn]; innermost
+    ...model.[1 conv|3 upconv|4 upbn]."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    prefix = "model.model"
+    for i in range(num_downs):
+        outermost = i == 0
+        innermost = i == num_downs - 1
+        if outermost:
+            params[f"down{i}_conv"] = {
+                "kernel": conv_w(sd.sd[f"{prefix}.0.weight"])}
+            sd.used.add(f"{prefix}.0.weight")
+            up_idx = 3
+        elif innermost:
+            params[f"down{i}_conv"] = {
+                "kernel": conv_w(sd.sd[f"{prefix}.1.weight"])}
+            sd.used.add(f"{prefix}.1.weight")
+            up_idx = 3
+        else:
+            params[f"down{i}_conv"] = {
+                "kernel": conv_w(sd.sd[f"{prefix}.1.weight"])}
+            sd.used.add(f"{prefix}.1.weight")
+            p, s = sd.bn(f"{prefix}.2")
+            params[f"down{i}_bn"] = {"bn": p}
+            stats[f"down{i}_bn"] = {"bn": s}
+            up_idx = 5
+        up_name = f"{prefix}.{up_idx}"
+        params[f"up{i}_conv"] = {"kernel": convt_w(sd.sd[up_name + ".weight"])}
+        sd.used.add(up_name + ".weight")
+        if outermost:
+            params[f"up{i}_conv"]["bias"] = sd.raw(up_name + ".bias")
+        else:
+            bn_idx = up_idx + 1
+            p, s = sd.bn(f"{prefix}.{bn_idx}")
+            params[f"up{i}_bn"] = {"bn": p}
+            stats[f"up{i}_bn"] = {"bn": s}
+        if not innermost:
+            prefix = f"{prefix}.{1 if outermost else 3}.model"
+    wrapped = {"params": {"netG": params},
+               "batch_stats": {"netG": stats}}
+    return wrapped
+
+
 CONVERTERS = {
     1: lambda sd: convert_dpt_beit(sd, 24),
     2: lambda sd: convert_dpt_beit(sd, 24),
     3: lambda sd: convert_dpt_vit(sd, 24),
+    5: convert_midas_v21,
     6: convert_midas_small,
     11: convert_da2_large,   # DA1 vitl14 shares the DA2 layout
     12: convert_da2_small,

@@ -68,10 +68,11 @@ class UnetGenerator(nn.Module):
 
 class Pix2Pix4Depth(nn.Module):
     """Inference wrapper: normalize two depth maps, merge, map to [0,1]."""
-    generator: UnetGenerator = None
+    num_downs: int = 10
+    ngf: int = 64
 
     def setup(self):
-        self.netG = self.generator or UnetGenerator()
+        self.netG = UnetGenerator(num_downs=self.num_downs, ngf=self.ngf)
 
     def __call__(self, outer, inner, train: bool = False):
         """outer/inner: (N, 1024, 1024) raw depth estimates -> (N, 1024, 1024)

@@ -40,59 +40,87 @@ def normalize_depth(depth: jax.Array) -> jax.Array:
 # Forward warp (scatter-max formulation of the reference's sweep order)
 # ---------------------------------------------------------------------------
 
-def _warp_winners(normalized_depth, divergence_px, separation_px, exponent, w):
-    """Per (row, target-col): index of the winning source column, or -1.
+def _warp_winners(normalized_depth, divergence_px, separation_px, exponent,
+                  w):
+    """Per (row, target-col): index of the winning source column + filled
+    mask.
 
     Reference sweep (stereoimage_generation.py:104-111): for divergence >= 0
     cols are visited descending, so the LAST write to a target comes from the
-    smallest source col; ascending otherwise.  last-write-wins == argmax of a
-    visit-order key, computed here with one scatter-max.
+    smallest source col; ascending otherwise.  TPU formulation: the shift
+    offset is bounded by |divergence_px| + |separation_px|, so each target's
+    candidate sources live in a static window of offsets o (source = t - o).
+    The sweep key is monotone in the source column, so the winner is simply
+    the valid candidate with the largest (div >= 0) or smallest (div < 0)
+    offset — a static unrolled gather loop, no scatter (TPU scatters are
+    slow; this is the 1080p-stereo hot path).
     """
-    h = normalized_depth.shape[0]
-    col = jnp.arange(w, dtype=jnp.float32)[None, :]
+    raise NotImplementedError("superseded by _warp (windowed, gather-free)")
+
+
+def _shift_cols(x, o, fill):
+    """x shifted so out[..., t] = x[..., t - o] (static o), `fill` elsewhere.
+    Column axis is axis 1."""
+    w = x.shape[1]
+    if o == 0:
+        return x
+    out = jnp.full_like(x, fill)
+    if o > 0:
+        if o < w:
+            out = out.at[:, o:].set(x[:, :w - o])
+    else:
+        if -o < w:
+            out = out.at[:, :w + o].set(x[:, -o:])
+    return out
+
+
+def _warp(image, normalized_depth, divergence_px, separation_px, exponent):
+    """Forward warp, gather-free.  Sweep-order semantics of the reference
+    (stereoimage_generation.py:104-111): for divergence >= 0 the smallest
+    source col wins a collision; largest otherwise.  The source for target t
+    sits at t - o with o in a static window bounded by divergence+separation,
+    and the sweep key is monotone in o — so iterating offsets in key order
+    and overwriting gives exactly last-write-wins."""
+    import math
+    h, w = normalized_depth.shape
     offset = normalized_depth ** exponent * divergence_px + separation_px
-    col_d = (col + jnp.trunc(offset)).astype(jnp.int32)  # int() truncates
-    valid = (col_d >= 0) & (col_d < w)
+    off_i = jnp.trunc(offset).astype(jnp.int32)   # int() truncates
 
-    cols_i = jnp.arange(w, dtype=jnp.int32)[None, :]
-    key = jnp.where(divergence_px < 0, cols_i, w - 1 - cols_i)
-    key = jnp.broadcast_to(key, (h, w))
-    key = jnp.where(valid, key, -1)
-    tgt = jnp.clip(col_d, 0, w - 1)
+    lo = int(math.floor(min(0.0, divergence_px) + min(0.0, separation_px)))
+    hi = int(math.ceil(max(0.0, divergence_px) + max(0.0, separation_px)))
 
-    rows = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
-    keymap = jnp.full((h, w), -1, dtype=jnp.int32)
-    keymap = keymap.at[rows, tgt].max(key, mode="drop")
-
-    filled = keymap >= 0
-    win_col = jnp.where(jnp.asarray(divergence_px < 0), keymap,
-                        w - 1 - keymap)
-    win_col = jnp.where(filled, win_col, 0)
-    return win_col, filled
+    derived = jnp.zeros_like(image)
+    filled = jnp.zeros((h, w), bool)
+    offsets = range(lo, hi + 1) if divergence_px >= 0 else \
+        range(hi, lo - 1, -1)
+    BAD = jnp.iinfo(jnp.int32).min
+    for o in offsets:
+        valid = _shift_cols(off_i, o, BAD) == o
+        derived = jnp.where(valid[..., None],
+                            _shift_cols(image, o, 0), derived)
+        filled = filled | valid
+    return derived, filled
 
 
 def _fill_naive(derived, filled, divergence_px, w):
     """Nearest-filled-neighbour fill; right wins ties; max search radius
-    abs(int(divergence_px)) + 1 (reference :142-157)."""
-    h = derived.shape[0]
-    idx = jnp.arange(w, dtype=jnp.int32)[None, :]
-    idxb = jnp.broadcast_to(idx, (h, w))
-    # nearest filled index to the left (inclusive of self not needed: only
-    # unfilled pixels are rewritten)
-    left = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(filled, idxb, -(2 ** 30)), axis=1)
-    right = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(filled, idxb, 2 ** 30), axis=1, reverse=True)
-    dl = idxb - left
-    dr = right - idxb
-    max_off = jnp.abs(jnp.trunc(divergence_px)).astype(jnp.int32) + 1
-    use_right = (dr <= dl) & (dr <= max_off)
-    use_left = (dl < dr) & (dl <= max_off)
-    src = jnp.where(use_right, jnp.clip(right, 0, w - 1),
-                    jnp.where(use_left, jnp.clip(left, 0, w - 1), idxb))
-    take = jnp.take_along_axis(derived, src[..., None], axis=1)
-    replace = (~filled)[..., None] & (use_right | use_left)[..., None]
-    return jnp.where(replace, take, derived)
+    abs(int(divergence_px)) + 1 (reference :142-157).  Gather-free: the
+    bounded offset search unrolls as static shifts."""
+    max_off = abs(int(divergence_px)) + 1
+    out = derived
+    done = filled
+    for offset in range(1, max_off + 1):
+        r_ok = _shift_cols(filled, -offset, False)   # filled[col + offset]
+        r_val = _shift_cols(derived, -offset, 0)
+        take_r = (~done) & r_ok
+        out = jnp.where(take_r[..., None], r_val, out)
+        done = done | take_r
+        l_ok = _shift_cols(filled, offset, False)    # filled[col - offset]
+        l_val = _shift_cols(derived, offset, 0)
+        take_l = (~done) & l_ok
+        out = jnp.where(take_l[..., None], l_val, out)
+        done = done | take_l
+    return out
 
 
 def _fill_naive_interpolating(derived, filled, w):
@@ -157,16 +185,22 @@ def _fill_naive_interpolating(derived, filled, w):
     return jnp.where(written[..., None], val.astype(derived.dtype), derived)
 
 
-@functools.partial(jax.jit, static_argnames=("fill_technique",))
-def apply_stereo_divergence_naive(image, normalized_depth, divergence_px,
-                                  separation_px, exponent,
+@functools.partial(jax.jit, static_argnames=(
+    "divergence_px", "separation_px", "exponent", "fill_technique"))
+def apply_stereo_divergence_naive(image, normalized_depth,
+                                  divergence_px: float, separation_px: float,
+                                  exponent: float,
                                   fill_technique: str = "none"):
-    """image: (H, W, C) uint8; normalized_depth: (H, W) in [0,1]."""
+    """image: (H, W, C) uint8; normalized_depth: (H, W) in [0,1].
+    divergence/separation/exponent are static (UI constants) so the warp
+    window unrolls at trace time."""
+    divergence_px = float(divergence_px)
+    separation_px = float(separation_px)
+    exponent = float(exponent)
     h, w = normalized_depth.shape
-    win_col, filled = _warp_winners(normalized_depth, divergence_px,
-                                    separation_px, exponent, w)
-    derived = jnp.take_along_axis(image, win_col[..., None], axis=1)
-    derived = jnp.where(filled[..., None], derived, 0).astype(image.dtype)
+    derived, filled = _warp(image, normalized_depth, divergence_px,
+                            separation_px, exponent)
+    derived = derived.astype(image.dtype)
     if fill_technique == "naive":
         derived = _fill_naive(derived, filled, divergence_px, w)
     elif fill_technique == "naive_interpolating":
@@ -178,6 +212,44 @@ def apply_stereo_divergence_naive(image, normalized_depth, divergence_px,
 def overlap_red_cyan(im1, im2):
     """R from im1, G+B from im2 (reference :286-307)."""
     return jnp.stack([im1[..., 0], im2[..., 1], im2[..., 2]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "left_div", "right_div", "left_sep", "right_sep", "exponent",
+    "fill_technique", "make_left", "make_right"))
+def _stereo_pair(image, nd, left_div: float, right_div: float,
+                 left_sep: float, right_sep: float, exponent: float,
+                 fill_technique: str, make_left: bool, make_right: bool):
+    """Both eyes in one compiled call (halves dispatch latency on the
+    stereo video hot path)."""
+    left = right = image
+    if make_left:
+        left = apply_stereo_divergence_naive(image, nd, left_div, left_sep,
+                                             exponent, fill_technique)
+    if make_right:
+        right = apply_stereo_divergence_naive(image, nd, right_div,
+                                              right_sep, exponent,
+                                              fill_technique)
+    return left, right
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "left_div", "right_div", "left_sep", "right_sep", "exponent",
+    "fill_technique", "make_left", "make_right"))
+def stereo_pair_batch(images, nds, left_div: float, right_div: float,
+                      left_sep: float, right_sep: float, exponent: float,
+                      fill_technique: str = "naive", make_left: bool = True,
+                      make_right: bool = True):
+    """Batched stereo: images (N, H, W, C) uint8, nds (N, H, W) normalized
+    depth -> (left, right) stacks.  Frames ride the batch axis — the TPU
+    fast path for stereo video (the reference's numba kernels are
+    frame-at-a-time on CPU)."""
+    fn = functools.partial(_stereo_pair, left_div=left_div,
+                           right_div=right_div, left_sep=left_sep,
+                           right_sep=right_sep, exponent=exponent,
+                           fill_technique=fill_technique,
+                           make_left=make_left, make_right=make_right)
+    return jax.vmap(lambda im, nd: fn(im, nd))(images, nds)
 
 
 def apply_stereo_divergence(image, depth, divergence, separation,
@@ -216,14 +288,30 @@ def create_stereoimages(original_image, depthmap, divergence, separation=0.0,
     original_image = jnp.asarray(np.asarray(original_image))
     depthmap = jnp.asarray(np.asarray(depthmap))
     balance = (stereo_balance + 1) / 2
-    left_eye = original_image if balance < 0.001 else \
-        apply_stereo_divergence(original_image, depthmap,
-                                +1 * divergence * balance, -1 * separation,
-                                stereo_offset_exponent, fill_technique)
-    right_eye = original_image if balance > 0.999 else \
-        apply_stereo_divergence(original_image, depthmap,
-                                -1 * divergence * (1 - balance), separation,
-                                stereo_offset_exponent, fill_technique)
+    make_left = balance >= 0.001
+    make_right = balance <= 0.999
+    if fill_technique in ("none", "naive", "naive_interpolating"):
+        # fused path: both eyes in a single compiled call
+        nd = normalize_depth(depthmap)
+        w = original_image.shape[1]
+        left_eye, right_eye = _stereo_pair(
+            original_image, nd,
+            float(divergence * balance / 100.0 * w),
+            float(-divergence * (1 - balance) / 100.0 * w),
+            float(-separation / 100.0 * w), float(separation / 100.0 * w),
+            float(stereo_offset_exponent), fill_technique,
+            bool(make_left), bool(make_right))
+    else:
+        left_eye = original_image if not make_left else \
+            apply_stereo_divergence(original_image, depthmap,
+                                    +1 * divergence * balance,
+                                    -1 * separation,
+                                    stereo_offset_exponent, fill_technique)
+        right_eye = original_image if not make_right else \
+            apply_stereo_divergence(original_image, depthmap,
+                                    -1 * divergence * (1 - balance),
+                                    separation, stereo_offset_exponent,
+                                    fill_technique)
 
     results = []
     for mode in modes:

@@ -142,12 +142,15 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
             else:
                 net_width, net_height = inp.net_width, inp.net_height
             img01 = img.astype(np.float32) / 255.0
+            from depthmap_tpu.utils.profiling import stage
             if inp.boost:
                 boost = cache.get_boost(inp.model_type)
-                raw_prediction = boost.estimate(img01)
+                with stage("boost_estimate"):
+                    raw_prediction = boost.estimate(img01)
             else:
-                raw_prediction = predictor.predict(img01, net_width,
-                                                   net_height)
+                with stage("depth_predict"):
+                    raw_prediction = predictor.predict(img01, net_width,
+                                                       net_height)
             raw_prediction_invert = predictor.raw_prediction_invert
 
             if abs(raw_prediction.max() - raw_prediction.min()) > \
@@ -196,10 +199,13 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                 yield count, "depth", Image.fromarray(img_depth)  # I;16
 
         if inp.gen_stereo:
-            stereoimages = create_stereoimages(
-                img, img_output, inp.stereo_divergence, inp.stereo_separation,
-                inp.stereo_modes, inp.stereo_balance,
-                inp.stereo_offset_exponent, inp.stereo_fill_algo)
+            from depthmap_tpu.utils.profiling import stage
+            with stage("stereo"):
+                stereoimages = create_stereoimages(
+                    img, img_output, inp.stereo_divergence,
+                    inp.stereo_separation, inp.stereo_modes,
+                    inp.stereo_balance, inp.stereo_offset_exponent,
+                    inp.stereo_fill_algo)
             for c, simg in enumerate(stereoimages):
                 yield count, inp.stereo_modes[c], Image.fromarray(simg)
 

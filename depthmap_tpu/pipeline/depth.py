@@ -137,7 +137,21 @@ class DepthPredictor:
         out_h, out_w = imgs01.shape[1:3]
         net_size = (net_h, net_w) if self.bundle.prep_in_model else None
         run = self._forward_fn(out_h, out_w, net_size)
-        return np.asarray(run(self.variables, jnp.asarray(xs)))
+        return np.asarray(run(self.variables, self._shard_batch(xs)))
+
+    @staticmethod
+    def _shard_batch(xs: np.ndarray):
+        """Multi-chip: split the frame batch over the mesh data axis (frames
+        are the data-parallel dimension, SURVEY.md §2.4); single-chip: plain
+        device transfer."""
+        devices = jax.devices()
+        if len(devices) > 1 and xs.shape[0] % len(devices) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from depthmap_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+            sharding = NamedSharding(mesh, P("data", *([None] * (xs.ndim - 1))))
+            return jax.device_put(jnp.asarray(xs), sharding)
+        return jnp.asarray(xs)
 
     def predict_batch_list(self, imgs01: list, net_w: int, net_h: int,
                            out_size: Tuple[int, int],

@@ -195,3 +195,56 @@ def test_convtranspose_k4s2p1_layout(rng):
                     "bias": np.asarray(tconv.bias.detach())}},
         jnp.asarray(x)))
     np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-5)
+
+
+def test_pix2pix_converter_tree_matches_init(rng):
+    from depthmap_tpu.models.pix2pix import Pix2Pix4Depth
+    num_downs = 6
+    model = Pix2Pix4Depth(num_downs=num_downs, ngf=8)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64)),
+                     jnp.zeros((1, 64, 64)))
+    g = ref["params"]["netG"]
+
+    fake = {}
+    prefix = "model.model"
+    for i in range(num_downs):
+        outermost = i == 0
+        innermost = i == num_downs - 1
+        dk = g[f"down{i}_conv"]["kernel"]
+        kh, kw, ic, oc = dk.shape
+        didx = 0 if outermost else 1
+        fake[f"{prefix}.{didx}.weight"] = torch.zeros((oc, ic, kh, kw))
+        if not outermost and not innermost:
+            c = dk.shape[-1]
+            for suf, val in [("weight", torch.ones(c)),
+                             ("bias", torch.zeros(c)),
+                             ("running_mean", torch.zeros(c)),
+                             ("running_var", torch.ones(c))]:
+                fake[f"{prefix}.2.{suf}"] = val
+            up_idx = 5
+        else:
+            up_idx = 3
+        uk = g[f"up{i}_conv"]["kernel"]
+        kh, kw, ic, oc = uk.shape
+        fake[f"{prefix}.{up_idx}.weight"] = torch.zeros((ic, oc, kh, kw))
+        if outermost:
+            fake[f"{prefix}.{up_idx}.bias"] = torch.zeros(oc)
+        else:
+            c = oc
+            for suf, val in [("weight", torch.ones(c)),
+                             ("bias", torch.zeros(c)),
+                             ("running_mean", torch.zeros(c)),
+                             ("running_var", torch.ones(c))]:
+                fake[f"{prefix}.{up_idx + 1}.{suf}"] = val
+        if not innermost:
+            prefix = f"{prefix}.{1 if outermost else 3}.model"
+
+    sdict = convert.SDict(fake)
+    got = convert.convert_pix2pix(sdict, num_downs=num_downs)
+    assert not sdict.unused()
+    ref_shapes = jax.tree.map(lambda a: jnp.shape(a), ref)
+    got_shapes = jax.tree.map(lambda a: np.shape(a), got)
+    assert jax.tree_util.tree_structure(ref_shapes) == \
+        jax.tree_util.tree_structure(got_shapes)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b,
+                                     ref_shapes, got_shapes))
