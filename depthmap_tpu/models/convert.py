@@ -27,6 +27,9 @@ from depthmap_tpu.registry import resolve_model_type
 # canonical checkpoint filenames (reference depthmap_generation.py)
 CHECKPOINT_FILES = {
     0: "res101.pth",
+    7: "ZoeD_M12_N.pt",
+    8: "ZoeD_M12_K.pt",
+    9: "ZoeD_M12_NK.pt",
     1: "dpt_beit_large_512.pt",
     2: "dpt_beit_large_384.pt",
     3: "dpt_large-midas-2f21e586.pt",
@@ -322,11 +325,11 @@ def _vit_block(sd: SDict, t: str):
     }
 
 
-def _dpt_decoder(sd: SDict, reassemble: bool = True):
+def _dpt_decoder(sd: SDict, reassemble: bool = True, prefix: str = ""):
     out: Dict[str, Any] = {}
     if reassemble:
         for i in range(1, 5):
-            t = f"pretrained.act_postprocess{i}"
+            t = f"{prefix}pretrained.act_postprocess{i}"
             entry = {"readout": {"project": _linear_entry(sd,
                                                           f"{t}.0.project.0")},
                      "proj": _conv_entry(sd, f"{t}.3")}
@@ -337,30 +340,32 @@ def _dpt_decoder(sd: SDict, reassemble: bool = True):
                 entry["resize"] = _conv_entry(sd, f"{t}.4")
             out[f"reassemble{i}"] = entry
     out["scratch"] = {
-        f"layer{i}_rn": {"conv": {"kernel": sd.conv(f"scratch.layer{i}_rn")}}
+        f"layer{i}_rn": {"conv": {
+            "kernel": sd.conv(f"{prefix}scratch.layer{i}_rn")}}
         for i in (1, 2, 3, 4)}
     for i in (1, 2, 3, 4):
-        out[f"refinenet{i}"] = _refinenet(sd, f"scratch.refinenet{i}",
+        out[f"refinenet{i}"] = _refinenet(sd, f"{prefix}scratch.refinenet{i}",
                                           with_rcu1=(i != 4))
-    out["head_conv1"] = _conv_entry(sd, "scratch.output_conv.0")
-    out["head_conv2"] = _conv_entry(sd, "scratch.output_conv.2")
-    out["head_conv3"] = _conv_entry(sd, "scratch.output_conv.4")
+    out["head_conv1"] = _conv_entry(sd, f"{prefix}scratch.output_conv.0")
+    out["head_conv2"] = _conv_entry(sd, f"{prefix}scratch.output_conv.2")
+    out["head_conv3"] = _conv_entry(sd, f"{prefix}scratch.output_conv.4")
     return out
 
 
-def convert_dpt_beit(sd: SDict, depth: int = 24):
+def convert_dpt_beit(sd: SDict, depth: int = 24, prefix: str = ""):
     backbone: Dict[str, Any] = {
-        "cls_token": sd.raw("pretrained.model.cls_token"),
+        "cls_token": sd.raw(f"{prefix}pretrained.model.cls_token"),
         "patch_embed": {"proj": {
-            "kernel": conv_w(sd.sd["pretrained.model.patch_embed.proj.weight"]),
-            "bias": sd.raw("pretrained.model.patch_embed.proj.bias")}},
+            "kernel": conv_w(
+                sd.sd[f"{prefix}pretrained.model.patch_embed.proj.weight"]),
+            "bias": sd.raw(f"{prefix}pretrained.model.patch_embed.proj.bias")}},
     }
-    sd.used.add("pretrained.model.patch_embed.proj.weight")
+    sd.used.add(f"{prefix}pretrained.model.patch_embed.proj.weight")
     for i in range(depth):
-        block, rel = _beit_block(sd, f"pretrained.model.blocks.{i}", i)
+        block, rel = _beit_block(sd, f"{prefix}pretrained.model.blocks.{i}", i)
         backbone[f"block_{i}"] = block
         backbone[f"rel_pos_bias_{i}"] = rel
-    params = {"backbone": backbone, **_dpt_decoder(sd)}
+    params = {"backbone": backbone, **_dpt_decoder(sd, prefix=prefix)}
     return {"params": params}
 
 
@@ -483,12 +488,76 @@ def convert_pix2pix(sd: SDict, num_downs: int = 10):
     return wrapped
 
 
+# --------------------------------------------------------------------------
+# ZoeDepth n/k/nk
+# --------------------------------------------------------------------------
+
+def _zoe_mlp2(sd: SDict, t: str):
+    """Two-conv MLP head (_net Sequential conv-act-conv[-act])."""
+    return {"conv1": _conv_entry(sd, f"{t}._net.0"),
+            "conv2": _conv_entry(sd, f"{t}._net.2")}
+
+
+def _zoe_core_head(sd: SDict, seed_prefix: str, attr_prefix: str):
+    out = {"seed_bin_regressor": _zoe_mlp2(sd, seed_prefix)}
+    for i in range(4):
+        out[f"attractor_{i}"] = _zoe_mlp2(sd, f"{attr_prefix}.{i}")
+    return out
+
+
+def _zoe_clb(sd: SDict, t: str):
+    return {"mlp_conv1": _conv_entry(sd, f"{t}.mlp.0"),
+            "mlp_conv2": _conv_entry(sd, f"{t}.mlp.2")}
+
+
+def convert_zoedepth(sd: SDict, variant: str = "n"):
+    """ZoeD_M12_{N,K,NK}.pt (checkpoint['model'] already unwrapped):
+    core.core.* = hub BEiT-L-384 DPT; metric head per zoedepth_v1.py /
+    zoedepth_nk_v1.py naming."""
+    core = convert_dpt_beit(sd, 24, prefix="core.core.")["params"]
+    model: Dict[str, Any] = {"core": core,
+                             "conv2": _conv_entry(sd, "conv2"),
+                             "seed_projector": _zoe_mlp2(sd,
+                                                         "seed_projector")}
+    for i in range(4):
+        model[f"projector_{i}"] = _zoe_mlp2(sd, f"projectors.{i}")
+    if variant in ("n", "k"):
+        model["head"] = _zoe_core_head(sd, "seed_bin_regressor", "attractors")
+        model["clb"] = _zoe_clb(sd, "conditional_log_binomial")
+    else:  # nk
+        for dom in ("nyu", "kitti"):
+            model[f"head_{dom}"] = _zoe_core_head(
+                sd, f"seed_bin_regressors.{dom}", f"attractors.{dom}")
+            model[f"clb_{dom}"] = _zoe_clb(sd,
+                                           f"conditional_log_binomial.{dom}")
+        # patch-transformer router
+        pt: Dict[str, Any] = {"embedding_conv": _conv_entry(
+            sd, "patch_transformer.embedding_convPxP")}
+        for i in range(4):
+            t = f"patch_transformer.transformer_encoder.layers.{i}"
+            pt[f"l{i}_in_proj"] = {
+                "kernel": linear_w(sd.raw(f"{t}.self_attn.in_proj_weight")),
+                "bias": sd.raw(f"{t}.self_attn.in_proj_bias")}
+            pt[f"l{i}_out_proj"] = _linear_entry(sd, f"{t}.self_attn.out_proj")
+            pt[f"l{i}_linear1"] = _linear_entry(sd, f"{t}.linear1")
+            pt[f"l{i}_linear2"] = _linear_entry(sd, f"{t}.linear2")
+            pt[f"l{i}_norm1"] = _ln_entry(sd, f"{t}.norm1")
+            pt[f"l{i}_norm2"] = _ln_entry(sd, f"{t}.norm2")
+        model["patch_transformer"] = pt
+        model["mlp_classifier_0"] = _linear_entry(sd, "mlp_classifier.0")
+        model["mlp_classifier_2"] = _linear_entry(sd, "mlp_classifier.2")
+    return {"params": {"model": model}}
+
+
 CONVERTERS = {
     1: lambda sd: convert_dpt_beit(sd, 24),
     2: lambda sd: convert_dpt_beit(sd, 24),
     3: lambda sd: convert_dpt_vit(sd, 24),
     5: convert_midas_v21,
     6: convert_midas_small,
+    7: lambda sd: convert_zoedepth(sd, "n"),
+    8: lambda sd: convert_zoedepth(sd, "k"),
+    9: lambda sd: convert_zoedepth(sd, "nk"),
     11: convert_da2_large,   # DA1 vitl14 shares the DA2 layout
     12: convert_da2_small,
     13: convert_da2_base,
@@ -524,6 +593,10 @@ def load_converted_weights(model_type, weights_dir: str = "./models"):
         raise FileNotFoundError(path)
     import torch
     sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "model" in sd and mt in (7, 8, 9):
+        sd = sd["model"]
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
     return convert_state_dict(mt, sd)

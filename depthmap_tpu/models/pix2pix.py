@@ -19,12 +19,6 @@ import jax.numpy as jnp
 from depthmap_tpu.models.layers import BatchNorm
 
 
-def _down(x, features, name, module):
-    return nn.Conv(features, (4, 4), strides=(2, 2),
-                   padding=((1, 1), (1, 1)), use_bias=False,
-                   name=name)(x)
-
-
 class UnetGenerator(nn.Module):
     num_downs: int = 10
     ngf: int = 64

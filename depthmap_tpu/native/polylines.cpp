@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -132,11 +133,28 @@ void polylines_row(const uint8_t* image_row, const double* nd_row,
 void polylines(const uint8_t* image, const double* nd, int h, int w, int c,
                double divergence_px, double separation_px, double exponent,
                int sharp, uint8_t* out) {
-    for (int row = 0; row < h; ++row) {
-        polylines_row(image + (size_t)row * w * c, nd + (size_t)row * w,
-                      w, c, divergence_px, separation_px, exponent, sharp,
-                      out + (size_t)row * w * c);
+    // rows are independent (the reference uses numba prange the same way)
+    unsigned n_threads = std::thread::hardware_concurrency();
+    if (n_threads == 0) n_threads = 1;
+    n_threads = std::min<unsigned>(n_threads, (unsigned)h);
+    if (n_threads <= 1) {
+        for (int row = 0; row < h; ++row)
+            polylines_row(image + (size_t)row * w * c, nd + (size_t)row * w,
+                          w, c, divergence_px, separation_px, exponent,
+                          sharp, out + (size_t)row * w * c);
+        return;
     }
+    std::vector<std::thread> threads;
+    for (unsigned t = 0; t < n_threads; ++t) {
+        threads.emplace_back([=]() {
+            for (int row = (int)t; row < h; row += (int)n_threads)
+                polylines_row(image + (size_t)row * w * c,
+                              nd + (size_t)row * w, w, c, divergence_px,
+                              separation_px, exponent, sharp,
+                              out + (size_t)row * w * c);
+        });
+    }
+    for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

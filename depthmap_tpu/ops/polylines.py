@@ -36,7 +36,8 @@ def _build_library() -> Optional[str]:
         return out
     try:
         subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        src, "-o", out], check=True, capture_output=True)
+                        "-pthread", src, "-o", out], check=True,
+                       capture_output=True)
         return out
     except Exception:
         return None

@@ -40,24 +40,6 @@ def normalize_depth(depth: jax.Array) -> jax.Array:
 # Forward warp (scatter-max formulation of the reference's sweep order)
 # ---------------------------------------------------------------------------
 
-def _warp_winners(normalized_depth, divergence_px, separation_px, exponent,
-                  w):
-    """Per (row, target-col): index of the winning source column + filled
-    mask.
-
-    Reference sweep (stereoimage_generation.py:104-111): for divergence >= 0
-    cols are visited descending, so the LAST write to a target comes from the
-    smallest source col; ascending otherwise.  TPU formulation: the shift
-    offset is bounded by |divergence_px| + |separation_px|, so each target's
-    candidate sources live in a static window of offsets o (source = t - o).
-    The sweep key is monotone in the source column, so the winner is simply
-    the valid candidate with the largest (div >= 0) or smallest (div < 0)
-    offset — a static unrolled gather loop, no scatter (TPU scatters are
-    slow; this is the 1080p-stereo hot path).
-    """
-    raise NotImplementedError("superseded by _warp (windowed, gather-free)")
-
-
 def _shift_cols(x, o, fill):
     """x shifted so out[..., t] = x[..., t - o] (static o), `fill` elsewhere.
     Column axis is axis 1."""
