@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-spherical", action="store_true")
     p.add_argument("--depthmap", default=None,
                    help="custom depthmap image (skips prediction)")
+    p.add_argument("--reuse-depthmaps", default=None, metavar="DIR",
+                   help="reuse previously generated '<name>-*-depth.png' "
+                        "files from DIR (batch mode depthmap reuse)")
     p.add_argument("--video", default=None, help="input video file")
     p.add_argument("--smoothening", default="none", choices=["none", "experimental"])
     p.add_argument("--serve", action="store_true", help="start the REST API")
@@ -159,6 +162,17 @@ def run(argv=None) -> int:
     depthmaps = None
     if args.depthmap:
         depthmaps = [Image.open(args.depthmap)] * len(images)
+    elif args.reuse_depthmaps:
+        # parity with the WebUI batch depthmap-reuse option
+        # (reference src/common_ui.py:522-535)
+        import glob
+        depthmaps = []
+        for name in names:
+            cands = sorted(glob.glob(
+                os.path.join(args.reuse_depthmaps, f"{name}-*-depth.png")))
+            depthmaps.append(Image.open(cands[-1]) if cands else None)
+        if all(d is None for d in depthmaps):
+            depthmaps = None
 
     count = 0
     for idx, output_type, result in core_generation_funnel(

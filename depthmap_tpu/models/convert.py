@@ -549,7 +549,57 @@ def convert_zoedepth(sd: SDict, variant: str = "n"):
     return {"params": {"model": model}}
 
 
+# --------------------------------------------------------------------------
+# LeReS res101
+# --------------------------------------------------------------------------
+
+def _leres_ftb(sd: SDict, t: str):
+    p = {"conv1": _conv_entry(sd, f"{t}.conv1"),
+         "branch_conv1": _conv_entry(sd, f"{t}.conv_branch.1"),
+         "branch_conv2": _conv_entry(sd, f"{t}.conv_branch.4")}
+    bn_p, bn_s = sd.bn(f"{t}.conv_branch.2")
+    p["branch_bn"] = {"bn": bn_p}
+    return p, {"branch_bn": {"bn": bn_s}}
+
+
+def convert_leres(sd: SDict, layers=(3, 4, 23, 3)):
+    """res101.pth checkpoint['depth_model'] stripped of 'module.'
+    (lib/net_tools.py:27-52): depth_model.encoder_modules.encoder.* =
+    torchvision resnext101_32x8d; decoder_modules.* = FTB/FFM/AO stack."""
+    E = "depth_model.encoder_modules.encoder"
+    D = "depth_model.decoder_modules"
+    enc_p: Dict[str, Any] = {
+        "conv1": {"conv": {"kernel": sd.conv(f"{E}.conv1")}}}
+    enc_s: Dict[str, Any] = {}
+    enc_p["bn1"], enc_s["bn1"] = _bn_pair(sd, f"{E}.bn1")
+    for li, n in enumerate(layers):
+        for bi in range(n):
+            p, s = _bottleneck(sd, f"{E}.layer{li + 1}.{bi}")
+            enc_p[f"layer{li + 1}_{bi}"] = p
+            enc_s[f"layer{li + 1}_{bi}"] = s
+
+    params: Dict[str, Any] = {"encoder": enc_p}
+    stats: Dict[str, Any] = {"encoder": enc_s}
+    params["conv_ftb"], stats["conv_ftb"] = _leres_ftb(sd, f"{D}.conv")
+    params["conv1"] = _conv_entry(sd, f"{D}.conv1")
+    for name in ("ffm2", "ffm1", "ffm0"):
+        fp: Dict[str, Any] = {}
+        fs: Dict[str, Any] = {}
+        fp["ftb1"], fs["ftb1"] = _leres_ftb(sd, f"{D}.{name}.ftb1")
+        fp["ftb2"], fs["ftb2"] = _leres_ftb(sd, f"{D}.{name}.ftb2")
+        params[name] = fp
+        stats[name] = fs
+    ao_p = {"conv1": _conv_entry(sd, f"{D}.outconv.adapt_conv.0"),
+            "conv2": _conv_entry(sd, f"{D}.outconv.adapt_conv.3")}
+    bn_p, bn_s = sd.bn(f"{D}.outconv.adapt_conv.1")
+    ao_p["bn"] = {"bn": bn_p}
+    params["outconv"] = ao_p
+    stats["outconv"] = {"bn": {"bn": bn_s}}
+    return {"params": params, "batch_stats": stats}
+
+
 CONVERTERS = {
+    0: convert_leres,
     1: lambda sd: convert_dpt_beit(sd, 24),
     2: lambda sd: convert_dpt_beit(sd, 24),
     3: lambda sd: convert_dpt_vit(sd, 24),
@@ -595,6 +645,14 @@ def load_converted_weights(model_type, weights_dir: str = "./models"):
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "model" in sd and mt in (7, 8, 9):
         sd = sd["model"]
+    if isinstance(sd, dict) and "depth_model" in sd and mt == 0:
+        # LeReS: keys live under checkpoint['depth_model'] and target the
+        # RelDepthModel, i.e. start with 'depth_model.' after module-strip
+        sd = sd["depth_model"]
+        sd = {k[len("module."):] if k.startswith("module.") else k: v
+              for k, v in sd.items()}
+        if not next(iter(sd)).startswith("depth_model."):
+            sd = {"depth_model." + k: v for k, v in sd.items()}
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     sd = {k[len("module."):] if k.startswith("module.") else k: v

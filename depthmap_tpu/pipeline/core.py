@@ -143,14 +143,32 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                 net_width, net_height = inp.net_width, inp.net_height
             img01 = img.astype(np.float32) / 255.0
             from depthmap_tpu.utils.profiling import stage
-            if inp.boost:
-                boost = cache.get_boost(inp.model_type)
-                with stage("boost_estimate"):
-                    raw_prediction = boost.estimate(img01)
-            else:
-                with stage("depth_predict"):
-                    raw_prediction = predictor.predict(img01, net_width,
-                                                       net_height)
+            try:
+                if inp.boost:
+                    boost = cache.get_boost(inp.model_type)
+                    with stage("boost_estimate"):
+                        raw_prediction = boost.estimate(img01)
+                else:
+                    with stage("depth_predict"):
+                        raw_prediction = predictor.predict(img01, net_width,
+                                                           net_height)
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" in str(e) or \
+                        "out of memory" in str(e).lower():
+                    # parity with the reference's OOM advice (core.py:310-326)
+                    suggestion = ("out of device memory, could not generate "
+                                  "depthmap! Suggestions:\n")
+                    if inp.boost:
+                        suggestion += " * Disable BOOST (faster, less " \
+                                      "detailed depthmap)\n"
+                    else:
+                        suggestion += " * Reduce net size (could reduce " \
+                                      "quality)\n"
+                    if resolve_model_type(inp.model_type) != 6:
+                        suggestion += " * Use a smaller model (e.g. " \
+                                      "midas_v21_small)\n"
+                    raise Exception(suggestion) from e
+                raise
             raw_prediction_invert = predictor.raw_prediction_invert
 
             if abs(raw_prediction.max() - raw_prediction.min()) > \

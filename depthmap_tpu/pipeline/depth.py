@@ -57,12 +57,21 @@ class DepthPredictor:
         return self.bundle.module.init(jax.random.PRNGKey(seed), x)
 
     def _try_load_weights(self, weights_dir: str):
+        import os
         try:
             from depthmap_tpu.models.convert import load_converted_weights
-            return load_converted_weights(self.model_type, weights_dir)
-        except FileNotFoundError:
-            return None
-        except ImportError:
+            try:
+                return load_converted_weights(self.model_type, weights_dir)
+            except FileNotFoundError:
+                if os.environ.get("DEPTHMAP_ALLOW_DOWNLOAD") == "1":
+                    from depthmap_tpu.utils.download import \
+                        ensure_model_downloaded
+                    ensure_model_downloaded(self.model_type, weights_dir)
+                    return load_converted_weights(self.model_type,
+                                                  weights_dir)
+                return None
+        except (FileNotFoundError, ImportError, KeyError,
+                NotImplementedError):
             return None
 
     # -- inference ---------------------------------------------------------

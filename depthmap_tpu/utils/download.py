@@ -1,0 +1,121 @@
+"""Checkpoint downloading with multi-mirror fallback and sha256-prefix
+verification (parity with reference src/misc.py:27-44 ensure_file_downloaded
++ the per-model URLs in src/depthmap_generation.py:101-260).
+
+Network egress may be unavailable in some deployments; every failure falls
+through to the next mirror and finally raises with a clear message.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import urllib.request
+from typing import List, Optional, Union
+
+CHECKPOINT_URLS = {
+    # model id -> (filename, [mirrors], sha256 prefix or None)
+    0: ("res101.pth",
+        ["https://huggingface.co/lllyasviel/Annotators/resolve/5bc80eec2b4fddbb/res101.pth",
+         "https://cloudstor.aarnet.edu.au/plus/s/lTIJF4vrvHCAI31/download"],
+        "1d696b2ef3e8336b057d0c15bc82d2fecef821bfebe5ef9d7671a5ec5dde520b"),
+    1: ("dpt_beit_large_512.pt",
+        ["https://github.com/isl-org/MiDaS/releases/download/v3_1/dpt_beit_large_512.pt"],
+        None),
+    2: ("dpt_beit_large_384.pt",
+        ["https://github.com/isl-org/MiDaS/releases/download/v3_1/dpt_beit_large_384.pt"],
+        None),
+    3: ("dpt_large-midas-2f21e586.pt",
+        ["https://github.com/intel-isl/DPT/releases/download/1_0/dpt_large-midas-2f21e586.pt"],
+        None),
+    4: ("dpt_hybrid-midas-501f0c75.pt",
+        ["https://github.com/intel-isl/DPT/releases/download/1_0/dpt_hybrid-midas-501f0c75.pt"],
+        None),
+    5: ("midas_v21-f6b98070.pt",
+        ["https://github.com/AlexeyAB/MiDaS/releases/download/midas_dpt/midas_v21-f6b98070.pt"],
+        None),
+    6: ("midas_v21_small-70d6b9c8.pt",
+        ["https://github.com/AlexeyAB/MiDaS/releases/download/midas_dpt/midas_v21_small-70d6b9c8.pt"],
+        None),
+    7: ("ZoeD_M12_N.pt",
+        ["https://github.com/isl-org/ZoeDepth/releases/download/v1.0/ZoeD_M12_N.pt"],
+        None),
+    8: ("ZoeD_M12_K.pt",
+        ["https://github.com/isl-org/ZoeDepth/releases/download/v1.0/ZoeD_M12_K.pt"],
+        None),
+    9: ("ZoeD_M12_NK.pt",
+        ["https://github.com/isl-org/ZoeDepth/releases/download/v1.0/ZoeD_M12_NK.pt"],
+        None),
+    11: ("depth_anything_vitl14.pth",
+         ["https://huggingface.co/spaces/LiheYoung/Depth-Anything/resolve/main/checkpoints/depth_anything_vitl14.pth"],
+         None),
+    12: ("depth_anything_v2_vits.pth",
+         ["https://huggingface.co/depth-anything/Depth-Anything-V2-Small/resolve/main/depth_anything_v2_vits.pth"],
+         None),
+    13: ("depth_anything_v2_vitb.pth",
+         ["https://huggingface.co/depth-anything/Depth-Anything-V2-Base/resolve/main/depth_anything_v2_vitb.pth"],
+         None),
+    14: ("depth_anything_v2_vitl.pth",
+         ["https://huggingface.co/depth-anything/Depth-Anything-V2-Large/resolve/main/depth_anything_v2_vitl.pth"],
+         None),
+}
+
+INPAINT_URLS = {
+    "edge": ("edge_model.pth",
+             ["https://huggingface.co/spaces/Epoching/3D_Photo_Inpainting/resolve/e389e564fd2a55cf/checkpoints/edge-model.pth",
+              "https://filebox.ece.vt.edu/~jbhuang/project/3DPhoto/model/edge-model.pth"],
+             "b1d768bd008ad5fe9f540004f870b8c3d355e4939b2009aa4db493fd313217c9"),
+    "depth": ("depth_model.pth",
+              ["https://huggingface.co/spaces/Epoching/3D_Photo_Inpainting/resolve/e389e564fd2a55cf/checkpoints/depth-model.pth",
+               "https://filebox.ece.vt.edu/~jbhuang/project/3DPhoto/model/depth-model.pth"],
+              "2d0e63e89a22762ddfa8bc8c9f8c992e5532b140123274ffc6e4171baa1b76f8"),
+    "color": ("color_model.pth",
+              ["https://huggingface.co/spaces/Epoching/3D_Photo_Inpainting/resolve/e389e564fd2a55cf/checkpoints/color-model.pth",
+               "https://filebox.ece.vt.edu/~jbhuang/project/3DPhoto/model/color-model.pth"],
+              "383c9b1db70097907a6f9c8abb0303e7056f50d5456a36f34ab784592b8b2c20"),
+}
+
+
+def sha256_prefix_ok(path: str, prefix: Optional[str]) -> bool:
+    if not prefix:
+        return True
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest().startswith(prefix)
+
+
+def ensure_file_downloaded(filename: str,
+                           url: Union[str, List[str]],
+                           sha256_hash_prefix: Optional[str] = None) -> str:
+    """Parity with reference misc.py:27-44: try mirrors in order, verify the
+    sha256 prefix, keep the first good file."""
+    if os.path.exists(filename) and sha256_prefix_ok(filename,
+                                                     sha256_hash_prefix):
+        return filename
+    urls = [url] if isinstance(url, str) else list(url)
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    last_err: Optional[Exception] = None
+    for u in urls:
+        try:
+            with tempfile.NamedTemporaryFile(delete=False) as tmp:
+                with urllib.request.urlopen(u, timeout=60) as r:
+                    shutil.copyfileobj(r, tmp)
+            if sha256_prefix_ok(tmp.name, sha256_hash_prefix):
+                shutil.move(tmp.name, filename)
+                return filename
+            os.unlink(tmp.name)
+            last_err = ValueError(f"sha256 mismatch for {u}")
+        except Exception as e:  # network failure -> next mirror
+            last_err = e
+    raise RuntimeError(
+        f"Could not download {filename!r} from any mirror "
+        f"({len(urls)} tried); last error: {last_err}")
+
+
+def ensure_model_downloaded(model_type: int,
+                            weights_dir: str = "./models") -> str:
+    fn, mirrors, sha = CHECKPOINT_URLS[model_type]
+    return ensure_file_downloaded(os.path.join(weights_dir, fn), mirrors, sha)
