@@ -410,6 +410,64 @@ def _read_ply(mesh_fi):
             float(meta.get("vFov", 0.5)), float(meta.get("meanLoc", 1.0)))
 
 
+def build_inpaint_callables(weights_dir: str = "./models/3dphoto",
+                            seed: int = 0) -> Optional[Dict]:
+    """Wrap the three inpainting nets (converted checkpoints when present)
+    into the (rgb, disp, edge, context, mask)-style callables used by
+    build_ldi; returns None when checkpoints are unavailable (the builder
+    then falls back to diffusion inpainting)."""
+    import jax
+    import jax.numpy as jnp
+
+    from depthmap_tpu.models.convert_inpaint import load_inpaint_nets
+    from depthmap_tpu.models.inpaint_nets import (InpaintColorNet,
+                                                  InpaintDepthNet,
+                                                  InpaintEdgeNet, pad_to_unit)
+    try:
+        variables = load_inpaint_nets(weights_dir)
+    except Exception:
+        return None
+    if any(v is None for v in variables.values()):
+        return None
+
+    edge_net = InpaintEdgeNet()
+    depth_net = InpaintDepthNet()
+    color_net = InpaintColorNet()
+    e_apply = jax.jit(edge_net.apply)
+    d_apply = jax.jit(depth_net.apply)
+    c_apply = jax.jit(color_net.apply)
+
+    def _prep(*planes):
+        x = jnp.stack([jnp.asarray(p, jnp.float32) for p in planes], axis=-1)
+        return x[None]
+
+    def edge_fn(rgb01, disp, edge_in, context, mask):
+        x = jnp.concatenate([
+            jnp.asarray(rgb01, jnp.float32)[None],
+            _prep(disp / max(float(np.max(disp)), 1e-8)),
+            _prep(edge_in), _prep(context), _prep(mask)], axis=-1)
+        xp, (t, b, l, r) = pad_to_unit(x)
+        out = e_apply(variables["edge"], xp)
+        return np.asarray(out[0, t:b, l:r, 0])
+
+    def depth_fn(depth, edge, context, mask):
+        args = [_prep(depth), _prep(edge), _prep(context), _prep(mask)]
+        padded = [pad_to_unit(a)[0] for a in args]
+        t, b, l, r = pad_to_unit(args[0])[1]
+        out = d_apply(variables["depth"], *padded)
+        return np.asarray(out[0, t:b, l:r, 0])
+
+    def color_fn(rgb01, edge, context, mask):
+        rgb = jnp.asarray(rgb01, jnp.float32)[None]
+        args = [rgb, _prep(edge), _prep(context), _prep(mask)]
+        padded = [pad_to_unit(a)[0] for a in args]
+        t, b, l, r = pad_to_unit(args[1])[1]
+        out = c_apply(variables["color"], *padded)
+        return np.asarray(out[0, t:b, l:r, :])
+
+    return {"edge": edge_fn, "depth": depth_fn, "color": color_fn}
+
+
 def write_mesh(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
                mesh_fi: str, config: Dict, nets: Optional[Dict] = None):
     """Reference write_mesh surface (mesh.py:1828): builds the LDI and saves

@@ -192,6 +192,9 @@ def run_3dphoto(device_unused, inpaint_imgs, inpaint_depths, inputnames,
     write_mesh (+ optional 4-trajectory demo videos)."""
     import cv2
     mesh_fi = ""
+    if nets is None:
+        from depthmap_tpu.pipeline.inpaint_mesh import build_inpaint_callables
+        nets = build_inpaint_callables()   # None -> diffusion fallback
     config = {
         "extrapolation_thickness": 60, "extrapolate_border": True,
         "depth_threshold": 0.04, "redundant_number": 12,

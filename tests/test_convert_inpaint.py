@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from depthmap_tpu.models import convert_inpaint as CI
+from depthmap_tpu.models.convert import SDict
+
+
+def test_spectral_weight_normalizes(rng):
+    w = torch.randn(8, 4, 3, 3)
+    u = torch.randn(8)
+    u = u / u.norm()
+    sd = SDict({"m.weight_orig": w, "m.weight_u": u})
+    eff = CI.spectral_weight(sd, "m")
+    assert eff.shape == (8, 4, 3, 3)
+    # sigma estimate via the same power-iteration readout ~ 1 after division
+    wm = eff.reshape(8, -1)
+    v = wm.T @ u.numpy()
+    v = v / np.linalg.norm(v)
+    sigma = float(u.numpy() @ (wm @ v))
+    assert abs(sigma - 1.0) < 1e-5
+
+
+def test_edge_net_converter_structure(rng):
+    import jax, jax.numpy as jnp
+    from depthmap_tpu.models.inpaint_nets import InpaintEdgeNet
+    net = InpaintEdgeNet(residual_blocks=2)
+    x = jnp.zeros((1, 32, 32, 7))
+    ref = net.init(jax.random.PRNGKey(0), x)
+
+    fake = {}
+    def add(name, flax_kernel, transpose=False, bias=True):
+        kh, kw, i, o = flax_kernel.shape
+        shape = (i, o, kh, kw) if transpose else (o, i, kh, kw)
+        fake[name + ".weight_orig"] = torch.randn(shape)
+        u = torch.randn(shape[0]); u /= u.norm()
+        fake[name + ".weight_u"] = u
+        if bias:
+            fake[name + ".bias"] = torch.zeros(
+                flax_kernel.shape[-1] if not transpose else o)
+
+    p = ref["params"]
+    add("encoder_0.1", p["enc0"]["kernel"])
+    add("encoder_1.0", p["enc1"]["kernel"])
+    add("encoder_2.0", p["enc2"]["kernel"])
+    add("decoder_0.0", p["dec0"]["kernel"], transpose=True)
+    add("decoder_1.0", p["dec1"]["kernel"], transpose=True)
+    fake["decoder_2.1.weight"] = torch.zeros(
+        tuple(np.array(p["dec2"]["kernel"].shape)[[3, 2, 0, 1]]))
+    fake["decoder_2.1.bias"] = torch.zeros(p["dec2"]["kernel"].shape[-1])
+    for i in range(2):
+        add(f"middle.{i}.conv_block.1", p[f"res{i}"]["conv1"]["kernel"])
+        add(f"middle.{i}.conv_block.5", p[f"res{i}"]["conv2"]["kernel"])
+
+    got = CI.convert_edge_net(SDict(fake), residual_blocks=2)
+    import jax
+    ref_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), ref)
+    got_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), got)
+    assert jax.tree_util.tree_structure(ref_shapes) == \
+        jax.tree_util.tree_structure(got_shapes)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b,
+                                     ref_shapes, got_shapes))

@@ -80,3 +80,14 @@ def test_funnel_combine_axis(rng, tmp_path):
         str(tmp_path), [_img(rng)], None, ["a"], inp))
     assert results[0][1] == "concat_depth"
     assert results[0][2].size == (160, 64)  # horizontal concat
+
+
+def test_funnel_depth_anything_v2_small(rng, tmp_path):
+    """Drive the funnel through the DA2 family (the reference default is
+    DA2; vits keeps the test fast) — exercises the mult-of-14 lower_bound
+    preprocessing and bilinear align_corners=True upsample."""
+    inp = GenerationOptions(model_type=12, net_width=56, net_height=56)
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng, 60, 80)], None, ["a"], inp))
+    assert results[0][1] == "depth"
+    assert results[0][2].size == (80, 60)
