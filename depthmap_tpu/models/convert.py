@@ -598,11 +598,72 @@ def convert_leres(sd: SDict, layers=(3, 4, 23, 3)):
     return {"params": params, "batch_stats": stats}
 
 
+# --------------------------------------------------------------------------
+# dpt_hybrid_384 (ResNetV2-50 stages + ViT-B)
+# --------------------------------------------------------------------------
+
+def _std_conv(sd: SDict, name: str):
+    return {"kernel": sd.conv(name)}
+
+
+def _gn_act(sd: SDict, name: str):
+    return {"gn": {"scale": sd.raw(name + ".weight"),
+                   "bias": sd.raw(name + ".bias")}}
+
+
+def _rnv2_bottleneck(sd: SDict, t: str):
+    p = {}
+    for i in (1, 2, 3):
+        p[f"conv{i}"] = _std_conv(sd, f"{t}.conv{i}")
+        p[f"norm{i}"] = _gn_act(sd, f"{t}.norm{i}")
+    if sd.has(f"{t}.downsample.conv.weight"):
+        p["downsample_conv"] = _std_conv(sd, f"{t}.downsample.conv")
+        p["downsample_norm"] = _gn_act(sd, f"{t}.downsample.norm")
+    return p
+
+
+def convert_dpt_hybrid(sd: SDict, depth: int = 12, layers=(3, 4, 9)):
+    """dpt_hybrid-midas-501f0c75.pt: timm vit_base_resnet50_384 hybrid
+    (patch_embed.backbone = ResNetV2 stem+3 stages) + ViT-B blocks; DPT
+    decoder with Identity postprocess for the two resnet taps."""
+    P = "pretrained.model"
+    rn = {"stem_conv": _std_conv(sd, f"{P}.patch_embed.backbone.stem.conv"),
+          "stem_norm": _gn_act(sd, f"{P}.patch_embed.backbone.stem.norm")}
+    for si, n in enumerate(layers):
+        for bi in range(n):
+            rn[f"stage{si}_b{bi}"] = _rnv2_bottleneck(
+                sd, f"{P}.patch_embed.backbone.stages.{si}.blocks.{bi}")
+
+    backbone: Dict[str, Any] = {
+        "backbone": rn,
+        "cls_token": sd.raw(f"{P}.cls_token"),
+        "pos_embed": sd.raw(f"{P}.pos_embed"),
+        "patch_proj": {"kernel": conv_w(sd.sd[f"{P}.patch_embed.proj.weight"]),
+                       "bias": sd.raw(f"{P}.patch_embed.proj.bias")},
+    }
+    sd.used.add(f"{P}.patch_embed.proj.weight")
+    for i in range(depth):
+        backbone[f"block_{i}"] = _vit_block(sd, f"{P}.blocks.{i}")
+
+    # decoder: hybrid act_postprocess1/2 are Identity; 3/4 are readout stacks
+    out: Dict[str, Any] = {"backbone": backbone}
+    for i in (3, 4):
+        t = f"pretrained.act_postprocess{i}"
+        entry = {"readout": {"project": _linear_entry(sd, f"{t}.0.project.0")},
+                 "proj": _conv_entry(sd, f"{t}.3")}
+        if i == 4:
+            entry["resize"] = _conv_entry(sd, f"{t}.4")
+        out[f"reassemble{i}"] = entry
+    out.update(_dpt_decoder(sd, reassemble=False))
+    return {"params": out}
+
+
 CONVERTERS = {
     0: convert_leres,
     1: lambda sd: convert_dpt_beit(sd, 24),
     2: lambda sd: convert_dpt_beit(sd, 24),
     3: lambda sd: convert_dpt_vit(sd, 24),
+    4: lambda sd: convert_dpt_hybrid(sd, 12),
     5: convert_midas_v21,
     6: convert_midas_small,
     7: lambda sd: convert_zoedepth(sd, "n"),
