@@ -703,7 +703,7 @@ def load_converted_weights(model_type, weights_dir: str = "./models"):
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     import torch
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model" in sd and mt in (7, 8, 9):
         sd = sd["model"]
     if isinstance(sd, dict) and "depth_model" in sd and mt == 0:

@@ -17,16 +17,21 @@ from depthmap_tpu.models.convert import SDict, conv_w, convt_w
 
 
 def spectral_weight(sd: SDict, name: str) -> np.ndarray:
-    """Effective conv weight for a spectral_norm-wrapped torch module."""
+    """Effective conv weight for a spectral_norm-wrapped torch module.
+
+    torch's eval-time compute_weight uses the checkpoint's stored u AND v
+    (no power iteration): sigma = u^T W v.  Only recompute v when the
+    checkpoint lacks it."""
     if sd.has(name + ".weight_orig"):
         w = sd.raw(name + ".weight_orig")
         u = sd.raw(name + ".weight_u")
         wm = w.reshape(w.shape[0], -1)
-        v = wm.T @ u
-        v = v / max(np.linalg.norm(v), 1e-12)
-        sigma = float(u @ (wm @ v))
         if sd.has(name + ".weight_v"):
-            sd.used.add(name + ".weight_v")
+            v = sd.raw(name + ".weight_v")
+        else:
+            v = wm.T @ u
+            v = v / max(np.linalg.norm(v), 1e-12)
+        sigma = float(u @ (wm @ v))
         return w / sigma
     return sd.raw(name + ".weight")
 
@@ -118,6 +123,6 @@ def load_inpaint_nets(weights_dir: str = "./models/3dphoto"):
         if not os.path.exists(path):
             out[key] = None
             continue
-        sd = SDict(torch.load(path, map_location="cpu"))
+        sd = SDict(torch.load(path, map_location="cpu", weights_only=True))
         out[key] = converter(sd)
     return out

@@ -178,7 +178,7 @@ def load_marigold_checkpoint(model_dir: str):
         for fn in ("diffusion_pytorch_model.bin", "pytorch_model.bin"):
             path = os.path.join(model_dir, sub, fn)
             if os.path.exists(path):
-                return torch.load(path, map_location="cpu")
+                return torch.load(path, map_location="cpu", weights_only=True)
         raise FileNotFoundError(f"no torch weights under {model_dir}/{sub}")
 
     enc, dec = convert_vae(load_bin("vae"))

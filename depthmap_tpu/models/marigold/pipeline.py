@@ -56,14 +56,24 @@ class MarigoldPipeline:
     def single_infer(self, rgb01: np.ndarray, denoising_steps: int,
                      rng: jax.Array) -> np.ndarray:
         """rgb01: (N, H, W, 3) in [0,1], H/W multiples of 8 ->
-        (N, H, W) depth in [0,1]."""
+        (N, H, W) depth in [0,1].
+
+        ``rng`` is either one key (shared stream, independent noise per batch
+        element) or a stack of N keys (one independent stream per ensemble
+        member — the batched-ensemble path)."""
         rgb_norm = jnp.asarray(rgb01) * 2.0 - 1.0
         mean, _ = self._enc(self.vars["encoder"], rgb_norm)
         rgb_latent = mean * VAE_SCALE
 
         n, lh, lw, _ = rgb_latent.shape
-        depth_latent = jax.random.normal(rng, (n, lh, lw, 4),
-                                         dtype=rgb_latent.dtype)
+        if rng.ndim > 1:   # per-member keys, vmapped draw
+            assert rng.shape[0] == n
+            depth_latent = jax.vmap(
+                lambda k: jax.random.normal(k, (lh, lw, 4),
+                                            dtype=rgb_latent.dtype))(rng)
+        else:
+            depth_latent = jax.random.normal(rng, (n, lh, lw, 4),
+                                             dtype=rgb_latent.dtype)
         ctx = jnp.broadcast_to(self.vars["empty_text_embed"], (n, 77, 1024))
 
         timesteps = self.scheduler.set_timesteps(denoising_steps)
@@ -93,12 +103,10 @@ class MarigoldPipeline:
 
         batch = np.repeat(rgb[None], ensemble_size, axis=0)
         rngs = jax.random.split(jax.random.PRNGKey(seed), ensemble_size)
-        # ensemble members share one batched denoise (TPU batch axis)
-        preds = []
-        for i in range(ensemble_size):
-            preds.append(self.single_infer(batch[i:i + 1], denoising_steps,
-                                           rngs[i])[0])
-        preds = np.stack(preds)
+        # ensemble members ride the batch axis: ONE batched denoise with
+        # per-member RNG streams (the UNet sees batch=ensemble_size; the
+        # reference batches through the VRAM table, marigold_pipeline.py:166)
+        preds = self.single_infer(batch, denoising_steps, rngs)
         depth = ensemble_depths(preds) if ensemble_size > 1 else preds[0]
         if match_input_res:
             depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_CUBIC)

@@ -78,9 +78,9 @@ def _resize_taps(in_size: int, out_size: int, mode: str, align_corners: bool,
 def _axis_resize(x: jax.Array, axis: int, out_size: int, mode: str,
                  align_corners: bool, scale=None) -> jax.Array:
     in_size = x.shape[axis]
-    if in_size == out_size and scale is None and (
-            mode != "bicubic" or in_size == 1 or True):
+    if in_size == out_size and scale is None:
         # identity taps are exact for matching sizes in all torch modes
+        # (incl. bicubic: the kernel weights collapse to [0, 1, 0, 0])
         return x
     idx, w = _resize_taps(in_size, out_size, mode, align_corners, scale)
     wshape = [1] * x.ndim

@@ -113,6 +113,15 @@ def _fill_naive_interpolating(derived, filled, w):
     or beyond the run with nonzero color (which, pre-fill, implies filled).
     uint8 wrap-around of the reference's `astype(np.uint8)` on negative floats
     is reproduced with mod-256 arithmetic.
+
+    Canonical-semantics note: the reference has two diverging configurations —
+    under numba njit, `sum(uint8_row)` promotes to int64 (no wrap); in the
+    pure-Python fallback it wraps mod 256, so an RGB sum that is a multiple of
+    256 counts as "black".  We standardize on the *pure-Python fallback*
+    semantics (the one fully specified by the reference source without JIT
+    type-inference subtleties); tests/oracles.py asserts bit-exactness against
+    it.  The difference only affects gap detection for pixels whose channel
+    sum ≡ 0 (mod 256).
     """
     h = derived.shape[0]
     idxb = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))

@@ -45,12 +45,42 @@ class PredictorCache:
             self._boost = None
         return self._predictor
 
-    def get_boost(self, model_type, **kw):
+    def get_boost(self, model_type, weights_dir: str = "./models", **kw):
         from depthmap_tpu.pipeline.boost import BoostEngine
         predictor = self.get(model_type, **kw)
         if self._boost is None:
-            self._boost = BoostEngine(predictor)
+            self._boost = BoostEngine(
+                predictor,
+                pix2pix_variables=self._load_pix2pix(weights_dir))
         return self._boost
+
+    @staticmethod
+    def _load_pix2pix(weights_dir: str):
+        """Converted merge-net weights when the checkpoint is on disk
+        (reference always downloads latest_net_G.pth for Boost,
+        depthmap_generation.py:288-301); None -> random init (weights
+        unavailable in this deployment)."""
+        import os
+        path = os.path.join(weights_dir, "pix2pix", "latest_net_G.pth")
+        if not os.path.exists(path) and \
+                os.environ.get("DEPTHMAP_ALLOW_DOWNLOAD") == "1":
+            try:
+                from depthmap_tpu.utils.download import \
+                    ensure_pix2pix_downloaded
+                path = ensure_pix2pix_downloaded(weights_dir)
+            except Exception as e:
+                print(f"pix2pix download failed ({e}); "
+                      "Boost merge quality will be degraded")
+        if os.path.exists(path):
+            import torch
+            from depthmap_tpu.models.convert import SDict, convert_pix2pix
+            sd = SDict(torch.load(path, map_location="cpu",
+                                  weights_only=True))
+            return convert_pix2pix(sd)
+        print("warning: pix2pix merge-net weights not found; Boost runs "
+              "with a random-init merge net (set DEPTHMAP_ALLOW_DOWNLOAD=1 "
+              f"or place latest_net_G.pth under {weights_dir}/pix2pix/)")
+        return None
 
     def unload(self):
         self._predictor = None
@@ -145,7 +175,8 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
             from depthmap_tpu.utils.profiling import stage
             try:
                 if inp.boost:
-                    boost = cache.get_boost(inp.model_type)
+                    boost = cache.get_boost(inp.model_type,
+                                            tiling_mode=inp.tiling_mode)
                     with stage("boost_estimate"):
                         raw_prediction = boost.estimate(img01)
                 else:

@@ -42,6 +42,7 @@ class DepthPredictor:
         self.compute_dtype = compute_dtype
         self._jit_cache: Dict[Tuple, Any] = {}
         if self.model_type == 10:   # Marigold pipeline manages its own state
+            self._try_load_marigold(weights_dir)
             self.variables = None
             return
         if params is None:
@@ -55,6 +56,28 @@ class DepthPredictor:
         h = w = self.spec.resize_multiple_of * 8
         x = jnp.zeros((1, h, w, 3), jnp.float32)
         return self.bundle.module.init(jax.random.PRNGKey(seed), x)
+
+    def _try_load_marigold(self, weights_dir: str):
+        """Swap converted SD2/Marigold weights into the pipeline when the
+        diffusers checkpoint tree is on disk (downloadable via
+        utils.download.ensure_marigold_downloaded)."""
+        import os
+        model_dir = os.path.join(weights_dir, "marigold")
+        if not os.path.isdir(model_dir) and \
+                os.environ.get("DEPTHMAP_ALLOW_DOWNLOAD") == "1":
+            try:
+                from depthmap_tpu.utils.download import \
+                    ensure_marigold_downloaded
+                model_dir = ensure_marigold_downloaded(weights_dir)
+            except Exception as e:
+                print(f"Marigold download failed ({e})")
+        if os.path.isdir(model_dir):
+            try:
+                from depthmap_tpu.models.marigold.convert import \
+                    load_marigold_checkpoint
+                self.bundle.module.vars = load_marigold_checkpoint(model_dir)
+            except FileNotFoundError:
+                pass
 
     def _try_load_weights(self, weights_dir: str):
         import os

@@ -16,6 +16,15 @@ from typing import List, Optional, Union
 
 CHECKPOINT_URLS = {
     # model id -> (filename, [mirrors], sha256 prefix or None)
+    #
+    # sha256 provenance: res101 + the inpaint nets carry the full hashes the
+    # reference records (depthmap_generation.py:110, core.py:375-390); the
+    # torch-hub-style filenames (`-<8 hex>` suffix) embed the first 8 sha256
+    # chars by torch.hub convention and are used as prefixes.  Entries that
+    # remain None have no hash recorded anywhere in the reference and this
+    # build has no network egress to compute one; the pickle-RCE risk of an
+    # unverified mirror is closed by loading every checkpoint with
+    # torch.load(weights_only=True) (models/convert*.py).
     0: ("res101.pth",
         ["https://huggingface.co/lllyasviel/Annotators/resolve/5bc80eec2b4fddbb/res101.pth",
          "https://cloudstor.aarnet.edu.au/plus/s/lTIJF4vrvHCAI31/download"],
@@ -28,16 +37,16 @@ CHECKPOINT_URLS = {
         None),
     3: ("dpt_large-midas-2f21e586.pt",
         ["https://github.com/intel-isl/DPT/releases/download/1_0/dpt_large-midas-2f21e586.pt"],
-        None),
+        "2f21e586"),
     4: ("dpt_hybrid-midas-501f0c75.pt",
         ["https://github.com/intel-isl/DPT/releases/download/1_0/dpt_hybrid-midas-501f0c75.pt"],
-        None),
+        "501f0c75"),
     5: ("midas_v21-f6b98070.pt",
         ["https://github.com/AlexeyAB/MiDaS/releases/download/midas_dpt/midas_v21-f6b98070.pt"],
-        None),
+        "f6b98070"),
     6: ("midas_v21_small-70d6b9c8.pt",
         ["https://github.com/AlexeyAB/MiDaS/releases/download/midas_dpt/midas_v21_small-70d6b9c8.pt"],
-        None),
+        "70d6b9c8"),
     7: ("ZoeD_M12_N.pt",
         ["https://github.com/isl-org/ZoeDepth/releases/download/v1.0/ZoeD_M12_N.pt"],
         None),
@@ -59,6 +68,41 @@ CHECKPOINT_URLS = {
     14: ("depth_anything_v2_vitl.pth",
          ["https://huggingface.co/depth-anything/Depth-Anything-V2-Large/resolve/main/depth_anything_v2_vitl.pth"],
          None),
+}
+
+# Boost merge network (reference depthmap_generation.py:288-301; downloaded
+# into ./models/pix2pix/ whenever Boost is enabled).
+PIX2PIX_URL = (
+    "pix2pix/latest_net_G.pth",
+    ["https://huggingface.co/lllyasviel/Annotators/resolve/9a7d84251d487d11/latest_net_G.pth",
+     "https://sfu.ca/~yagiz/CVPR21/latest_net_G.pth"],
+    "50ec735d74ed6499562d898f41b49343e521808b8dae589aa3c2f5c9ac9f7462")
+
+# Marigold (reference loads the diffusers repo "Bingxin/Marigold",
+# depthmap_generation.py:215-221).  Fetched per-component into
+# <weights_dir>/marigold/{unet,vae,text_encoder,tokenizer}/ in the layout
+# models/marigold/convert.py:load_marigold_checkpoint expects.
+MARIGOLD_URLS = {
+    "unet/diffusion_pytorch_model.bin":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/unet/diffusion_pytorch_model.bin"],
+    "unet/config.json":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/unet/config.json"],
+    "vae/diffusion_pytorch_model.bin":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/vae/diffusion_pytorch_model.bin"],
+    "vae/config.json":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/vae/config.json"],
+    "text_encoder/pytorch_model.bin":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/text_encoder/pytorch_model.bin"],
+    "text_encoder/config.json":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/text_encoder/config.json"],
+    "tokenizer/vocab.json":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/tokenizer/vocab.json"],
+    "tokenizer/merges.txt":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/tokenizer/merges.txt"],
+    "tokenizer/tokenizer_config.json":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/tokenizer/tokenizer_config.json"],
+    "tokenizer/special_tokens_map.json":
+        ["https://huggingface.co/Bingxin/Marigold/resolve/main/tokenizer/special_tokens_map.json"],
 }
 
 INPAINT_URLS = {
@@ -117,5 +161,21 @@ def ensure_file_downloaded(filename: str,
 
 def ensure_model_downloaded(model_type: int,
                             weights_dir: str = "./models") -> str:
+    if model_type == 10:
+        return ensure_marigold_downloaded(weights_dir)
     fn, mirrors, sha = CHECKPOINT_URLS[model_type]
     return ensure_file_downloaded(os.path.join(weights_dir, fn), mirrors, sha)
+
+
+def ensure_pix2pix_downloaded(weights_dir: str = "./models") -> str:
+    """Boost merge-net checkpoint (reference depthmap_generation.py:288-301)."""
+    fn, mirrors, sha = PIX2PIX_URL
+    return ensure_file_downloaded(os.path.join(weights_dir, fn), mirrors, sha)
+
+
+def ensure_marigold_downloaded(weights_dir: str = "./models") -> str:
+    """All Marigold components -> <weights_dir>/marigold/; returns that dir."""
+    root = os.path.join(weights_dir, "marigold")
+    for rel, mirrors in MARIGOLD_URLS.items():
+        ensure_file_downloaded(os.path.join(root, rel), mirrors, None)
+    return root
