@@ -15,7 +15,7 @@ the whole forward stays one XLA program per resolution bucket.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -92,7 +92,12 @@ class BeitBackbone(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rel_bias: Optional[Tuple[jax.Array, ...]] = None):
+        """rel_bias: optional tuple of `depth` precomputed (1, H, N, N) bias
+        tensors.  The per-block table gather is input-independent (a pure
+        function of the params and the window), and at 512 px it costs ~45%
+        of the whole backbone runtime — precompute once per resolution
+        bucket with :func:`precompute_rel_biases` and pass it in."""
         n, h, w, _ = x.shape
         tokens, (gh, gw) = PatchEmbed(self.embed_dim, self.patch_size,
                                       name="patch_embed")(x)
@@ -104,8 +109,11 @@ class BeitBackbone(nn.Module):
         tw = self.train_img_size // self.patch_size
         feats = []
         for i in range(self.depth):
-            bias = RelPosBias(self.num_heads, (tw, tw),
-                              name=f"rel_pos_bias_{i}")((gh, gw))
+            if rel_bias is not None:
+                bias = rel_bias[i]
+            else:
+                bias = RelPosBias(self.num_heads, (tw, tw),
+                                  name=f"rel_pos_bias_{i}")((gh, gw))
             tokens = Block(self.num_heads, self.mlp_ratio, layer_scale=True,
                            beit_style_bias=True, name=f"block_{i}")(
                                tokens, bias)
@@ -122,3 +130,26 @@ def beit_large(img_size: int, hooks=(5, 11, 17, 23)) -> BeitBackbone:
 def beit_base(img_size: int = 384, hooks=(2, 5, 8, 11)) -> BeitBackbone:
     return BeitBackbone(embed_dim=768, depth=12, num_heads=12, hooks=hooks,
                         train_img_size=img_size)
+
+
+def precompute_rel_biases(backbone: BeitBackbone, backbone_params,
+                          window: Tuple[int, int],
+                          dtype=None) -> Tuple[jax.Array, ...]:
+    """All `depth` relative-position biases for one window, computed once.
+
+    backbone_params: the *backbone's* params subtree (containing
+    rel_pos_bias_{i}).  Returns a tuple of (1, H, N, N) arrays ready to pass
+    as ``rel_bias`` to BeitBackbone/DPTDepthModel — sidestepping the ~1M-index
+    table gather per block per forward."""
+    tw = backbone.train_img_size // backbone.patch_size
+
+    @jax.jit
+    def compute(params):
+        out = []
+        for i in range(backbone.depth):
+            sub = {"params": params[f"rel_pos_bias_{i}"]}
+            b = RelPosBias(backbone.num_heads, (tw, tw)).apply(sub, window)
+            out.append(b.astype(dtype) if dtype is not None else b)
+        return tuple(out)
+
+    return compute(backbone_params)

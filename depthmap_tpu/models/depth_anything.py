@@ -64,7 +64,8 @@ class DPTHeadDA(nn.Module):
                           "bilinear", True)
         out = Conv(32, 3, 1, padding=1, name="output_conv2_0")(out)
         out = nn.relu(out)
-        out = Conv(1, 1, name="output_conv2_2")(out)
+        # final depth accumulates in f32 (no 8-bit-mantissa banding in bf16)
+        out = Conv(1, 1, name="output_conv2_2")(out.astype(jnp.float32))
         out = nn.relu(out)
         return out
 

@@ -83,8 +83,14 @@ class DPTDepthModel(nn.Module):
     with_zoe_taps: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        feats, grid = self.backbone(x)
+    def __call__(self, x, train: bool = False, rel_bias=None):
+        if rel_bias is not None:
+            # precomputed BEiT relative-position biases (models/beit.py:
+            # precompute_rel_biases) — input-independent, hoisted out of the
+            # per-frame forward
+            feats, grid = self.backbone(x, rel_bias=rel_bias)
+        else:
+            feats, grid = self.backbone(x)
         layers = []
         for i, f in enumerate(feats):
             if self.hybrid and i < 2:
@@ -108,7 +114,11 @@ class DPTDepthModel(nn.Module):
         out = scale2x(out, "bilinear", align_corners=True)
         out = Conv(32, 3, 1, padding=1, name="head_conv2")(out)
         out_conv_act = nn.relu(out)
-        out = Conv(1, 1, name="head_conv3")(out_conv_act)
+        # final depth values accumulate in f32 regardless of the compute
+        # dtype: a bf16 output would quantize the 16-bit depth map to ~256
+        # levels (visible banding)
+        out = Conv(1, 1, name="head_conv3")(
+            out_conv_act.astype(jnp.float32))
         if self.non_negative:
             out = nn.relu(out)
         depth = jnp.squeeze(out, axis=-1)

@@ -41,7 +41,9 @@ class MidasNetSmall(nn.Module):
         out = scale2x(out, "bilinear", align_corners=False)
         out = Conv(32, 3, 1, padding=1, name="output_conv2")(out)
         out = nn.relu(out)
-        out = Conv(1, 1, 1, padding=0, name="output_conv3")(out)
+        # final depth accumulates in f32 (no 8-bit-mantissa banding in bf16)
+        out = Conv(1, 1, 1, padding=0, name="output_conv3")(
+            out.astype(jnp.float32))
         if self.non_negative:
             out = nn.relu(out)
         return jnp.squeeze(out, axis=-1)

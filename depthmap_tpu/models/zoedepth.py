@@ -293,7 +293,9 @@ class ZoeDepth(nn.Module):
             min_temp=self.min_temp, max_temp=self.max_temp, name="clb")(
                 last, b_embedding)
         b_centers = interpolate(b_centers, probs.shape[1:3], "bilinear", True)
-        metric = jnp.sum(probs * b_centers, axis=-1)
+        # sum over bins in f32: metric depth must not quantize through bf16
+        metric = jnp.sum(probs.astype(jnp.float32) *
+                         b_centers.astype(jnp.float32), axis=-1)
         return metric   # (N, H, W) depth in meters
 
 
@@ -347,7 +349,9 @@ class ZoeDepthNK(nn.Module):
                 min_temp=self.min_temp, max_temp=self.max_temp,
                 name=f"clb_{domain}")(last, b_emb)
             b_c = interpolate(b_centers, last.shape[1:3], "bilinear", True)
-            return jnp.sum(probs * b_c, axis=-1)
+            # f32 bin sum (see ZoeDepth.__call__)
+            return jnp.sum(probs.astype(jnp.float32) *
+                           b_c.astype(jnp.float32), axis=-1)
 
         nyu = expert("nyu")
         kitti = expert("kitti")

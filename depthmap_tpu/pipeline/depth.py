@@ -24,12 +24,30 @@ from depthmap_tpu.ops.resize import interpolate
 from depthmap_tpu.registry import MODELS, resolve_model_type
 
 
+# Per-model reduced-precision policy, mirroring the reference's fp16 table
+# (depthmap_generation.py:262-276: .half() for 1-6, 8, 9, 11; depth_head +
+# pretrained .half() for DA2 12-14; full precision for LeReS 0, zoedepth_n 7
+# — "completely trips" in reduced precision — and Marigold 10).  bfloat16 is
+# the TPU-native reduced dtype (same exponent range as f32); all MXU
+# accumulation stays f32, and every model's final head emits f32 so the
+# 16-bit depth map never quantizes through an 8-bit mantissa.
+BF16_MODEL_TYPES = frozenset({1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14})
+
+
+def default_compute_dtype(model_type: int):
+    import os
+    env = os.environ.get("DEPTHMAP_COMPUTE_DTYPE")
+    if env:
+        return jnp.dtype(env)
+    return jnp.bfloat16 if model_type in BF16_MODEL_TYPES else jnp.float32
+
+
 class DepthPredictor:
     """Loads/initializes one depth model and runs jit-compiled inference."""
 
     def __init__(self, model_type, params: Optional[Any] = None,
                  weights_dir: str = "./models", seed: int = 0,
-                 compute_dtype=jnp.float32, tiling_mode: bool = False,
+                 compute_dtype=None, tiling_mode: bool = False,
                  marigold_ensembles: int = 5, marigold_steps: int = 12):
         from depthmap_tpu.models.layers import set_tiling_mode
         self.model_type = resolve_model_type(model_type)
@@ -39,8 +57,11 @@ class DepthPredictor:
         self.marigold_steps = marigold_steps
         set_tiling_mode(tiling_mode)  # trace-time flag for all convs
         self.bundle: ModelBundle = build_model(self.model_type)
-        self.compute_dtype = compute_dtype
+        if compute_dtype is None:
+            compute_dtype = default_compute_dtype(self.model_type)
+        self.compute_dtype = jnp.dtype(compute_dtype)
         self._jit_cache: Dict[Tuple, Any] = {}
+        self._bias_cache: Dict[Tuple, Any] = {}
         if self.model_type == 10:   # Marigold pipeline manages its own state
             self._try_load_marigold(weights_dir)
             self.variables = None
@@ -49,7 +70,18 @@ class DepthPredictor:
             params = self._try_load_weights(weights_dir)
         if params is None:
             params = self._random_init(seed)
-        self.variables = params
+        # cast float params to the compute dtype and place on device ONCE
+        # (converted checkpoints arrive as host numpy; without this every
+        # dispatch would re-upload the weights)
+        dt = self.compute_dtype
+
+        def _cast(a):
+            dtype = getattr(a, "dtype", None)
+            if dtype is not None and jnp.issubdtype(dtype, jnp.floating):
+                return jnp.asarray(a, dt)
+            return jnp.asarray(a)
+
+        self.variables = jax.device_put(jax.tree.map(_cast, params))
 
     # -- init / weights ----------------------------------------------------
     def _random_init(self, seed: int):
@@ -98,27 +130,67 @@ class DepthPredictor:
             return None
 
     # -- inference ---------------------------------------------------------
+    @property
+    def _beit_bias_hoist(self) -> bool:
+        """True when the model is a DPT over a BEiT backbone (types 1/2):
+        the relative-position bias gather is hoisted out of the per-frame
+        forward (precomputed per resolution bucket)."""
+        from depthmap_tpu.models.beit import BeitBackbone
+        m = self.bundle.module
+        return isinstance(getattr(m, "backbone", None), BeitBackbone)
+
+    def _rel_biases(self, grid: Tuple[int, int]):
+        if grid not in self._bias_cache:
+            from depthmap_tpu.models.beit import precompute_rel_biases
+            backbone = self.bundle.module.backbone
+            params = self.variables["params"]["backbone"]
+            self._bias_cache[grid] = precompute_rel_biases(
+                backbone, params, grid, dtype=self.compute_dtype)
+        return self._bias_cache[grid]
+
     def _forward_fn(self, out_h: int, out_w: int,
                     net_size: Optional[Tuple[int, int]] = None):
         key = (out_h, out_w, net_size)
         if key not in self._jit_cache:
             bundle = self.bundle
+            dt = self.compute_dtype
 
             if bundle.prep_in_model:
                 @jax.jit
                 def run(variables, x):
-                    return bundle.module.apply(variables, x,
+                    pred = bundle.module.apply(variables, x.astype(dt),
                                                net_size=net_size)
+                    return pred.astype(jnp.float32)
+            elif self._beit_bias_hoist:
+                @jax.jit
+                def run(variables, x, rel_bias):
+                    pred = bundle.module.apply(variables, x.astype(dt),
+                                               rel_bias=rel_bias)
+                    pred = pred[..., None].astype(jnp.float32)
+                    return interpolate(pred, (out_h, out_w),
+                                       bundle.upsample_mode,
+                                       bundle.upsample_align_corners)[..., 0]
             else:
                 @jax.jit
                 def run(variables, x):
-                    pred = bundle.module.apply(variables, x)   # (N, h', w')
-                    pred = interpolate(pred[..., None], (out_h, out_w),
+                    pred = bundle.module.apply(variables,
+                                               x.astype(dt))  # (N, h', w')
+                    pred = pred[..., None].astype(jnp.float32)
+                    return interpolate(pred, (out_h, out_w),
                                        bundle.upsample_mode,
                                        bundle.upsample_align_corners)[..., 0]
-                    return pred
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def _apply(self, x, out_h: int, out_w: int,
+               net_size: Optional[Tuple[int, int]] = None):
+        """Dispatch one compiled forward on preprocessed input `x`."""
+        run = self._forward_fn(out_h, out_w, net_size)
+        if net_size is None and self._beit_bias_hoist:
+            patch = self.bundle.module.backbone.patch_size
+            grid = (x.shape[1] // patch, x.shape[2] // patch)
+            return run(self.variables, x, self._rel_biases(grid))
+        return run(self.variables, x)
 
     def _prep(self, img01: np.ndarray, net_w: int, net_h: int,
               resize_mode: Optional[str] = None) -> np.ndarray:
@@ -151,8 +223,7 @@ class DepthPredictor:
         x = self._prep(img01, net_w, net_h, resize_mode)
         out_h, out_w = img01.shape[:2]
         net_size = (net_h, net_w) if self.bundle.prep_in_model else None
-        run = self._forward_fn(out_h, out_w, net_size)
-        pred = run(self.variables, jnp.asarray(x))
+        pred = self._apply(jnp.asarray(x), out_h, out_w, net_size)
         return np.asarray(pred[0])
 
     def predict_batch(self, imgs01: np.ndarray, net_w: Optional[int] = None,
@@ -168,8 +239,8 @@ class DepthPredictor:
             for f in np.asarray(imgs01, np.float32)], axis=0)
         out_h, out_w = imgs01.shape[1:3]
         net_size = (net_h, net_w) if self.bundle.prep_in_model else None
-        run = self._forward_fn(out_h, out_w, net_size)
-        return np.asarray(run(self.variables, self._shard_batch(xs)))
+        return np.asarray(self._apply(self._shard_batch(xs),
+                                      out_h, out_w, net_size))
 
     @staticmethod
     def _shard_batch(xs: np.ndarray):
@@ -198,11 +269,10 @@ class DepthPredictor:
         shapes = {x.shape for x in xs}
         assert len(shapes) == 1, f"inconsistent preprocessed shapes {shapes}"
         xs = np.concatenate(xs, axis=0)
-        run = self._forward_fn(out_size[0], out_size[1], None)
         outs = []
         for i in range(0, xs.shape[0], chunk):
-            outs.append(np.asarray(run(self.variables,
-                                       jnp.asarray(xs[i:i + chunk]))))
+            outs.append(np.asarray(self._apply(jnp.asarray(xs[i:i + chunk]),
+                                               out_size[0], out_size[1])))
         return np.concatenate(outs, axis=0)
 
     @property

@@ -81,3 +81,45 @@ def test_hybrid_backbone_shapes(rng):
     assert s2.shape == (1, 8, 8, 512)     # stride 8
     assert grid == (4, 4)
     assert f3.shape == (1, 17, 32)
+
+
+def test_beit_precomputed_bias_matches_inline(rng):
+    """The hoisted rel-pos-bias path (precompute_rel_biases + rel_bias kwarg)
+    must match the in-model gather exactly (it is the production fast path
+    for dpt_beit_large_512/384)."""
+    from depthmap_tpu.models.beit import precompute_rel_biases
+    bb = BeitBackbone(embed_dim=32, depth=4, num_heads=2, hooks=(0, 1, 2, 3),
+                      train_img_size=64, patch_size=16)
+    x = jnp.asarray(rng.normal(size=(2, 96, 96, 3)), jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(
+        lambda a: a + 0.01 * jnp.asarray(
+            np.random.default_rng(1).normal(size=a.shape), a.dtype), v)
+    ref, _ = bb.apply(v, x)
+    biases = precompute_rel_biases(bb, v["params"], (6, 6))
+    assert len(biases) == 4 and biases[0].shape == (1, 2, 37, 37)
+    out, _ = bb.apply(v, x, rel_bias=biases)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=0, atol=5e-6)
+
+
+def test_dpt_rel_bias_passthrough(rng):
+    """DPTDepthModel(x, rel_bias=...) produces the same depth as the
+    in-model bias path."""
+    from depthmap_tpu.models.beit import precompute_rel_biases
+    from depthmap_tpu.models.dpt import DPTDepthModel
+    bb = BeitBackbone(embed_dim=32, depth=4, num_heads=2, hooks=(0, 1, 2, 3),
+                      train_img_size=64, patch_size=16)
+    model = DPTDepthModel(backbone=bb, reassemble_channels=(8, 16, 24, 24),
+                          features=16)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(
+        lambda a: a + 0.01 * jnp.asarray(
+            np.random.default_rng(2).normal(size=a.shape), a.dtype), v)
+    ref = model.apply(v, x)
+    biases = precompute_rel_biases(bb, v["params"]["backbone"], (4, 4))
+    out = model.apply(v, x, rel_bias=biases)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=0, atol=5e-6)
