@@ -249,6 +249,9 @@ def convert_depth_anything(sd: SDict, depth: int):
         "norm": _ln_entry(sd, "pretrained.norm"),
     }
     sd.used.add("pretrained.patch_embed.proj.weight")
+    # mask_token is an MIM-pretraining artifact, dead at inference
+    # (ddepth_anything_v2 dinov2.py keeps it in the state dict)
+    sd.used.add("pretrained.mask_token")
     for i in range(depth):
         enc[f"block_{i}"] = _dinov2_block(sd, f"pretrained.blocks.{i}")
 

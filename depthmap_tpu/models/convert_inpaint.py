@@ -25,7 +25,11 @@ def spectral_weight(sd: SDict, name: str) -> np.ndarray:
     if sd.has(name + ".weight_orig"):
         w = sd.raw(name + ".weight_orig")
         u = sd.raw(name + ".weight_u")
-        wm = w.reshape(w.shape[0], -1)
+        # torch applies spectral_norm over dim=0 (Conv) / dim=1
+        # (ConvTranspose); recover the dim from u's length
+        dim = 0 if w.shape[0] == u.shape[0] else 1
+        assert w.shape[dim] == u.shape[0], (w.shape, u.shape)
+        wm = np.moveaxis(w, dim, 0).reshape(w.shape[dim], -1)
         if sd.has(name + ".weight_v"):
             v = sd.raw(name + ".weight_v")
         else:

@@ -170,13 +170,16 @@ class EdgeResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # reference ResnetBlock convs: bias=not use_spectral_norm -> False
+        # (inpaint/networks.py:475-487)
         h = _reflect_pad(x, self.dilation)
         h = nn.Conv(self.dim, (3, 3), kernel_dilation=(self.dilation,) * 2,
-                    padding="VALID", name="conv1")(h)
+                    padding="VALID", use_bias=False, name="conv1")(h)
         h = InstanceNorm(name="in1")(h)
-        h = nn.relu(h)
+        h = nn.leaky_relu(h, 0.2)   # reference networks.py:481 LeakyReLU(0.2)
         h = _reflect_pad(h, 1)
-        h = nn.Conv(self.dim, (3, 3), padding="VALID", name="conv2")(h)
+        h = nn.Conv(self.dim, (3, 3), padding="VALID", use_bias=False,
+                    name="conv2")(h)
         h = InstanceNorm(name="in2")(h)
         return x + h
 

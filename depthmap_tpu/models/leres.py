@@ -18,14 +18,20 @@ from depthmap_tpu.ops.resize import scale2x
 
 
 class FTB(nn.Module):
-    """Feature transform block: conv + residual conv-bn-relu-conv branch."""
+    """Feature transform block: conv + residual conv-bn-relu-conv branch.
+
+    Reference quirk (lib/network_auxi.py:100-124): conv_branch starts with
+    ReLU(inplace=True), which mutates the conv1 output tensor *before* the
+    residual addition `x + self.conv_branch(x)` reads it — so the skip
+    connection carries relu(conv1(x)), not conv1(x).  Verified against the
+    vendored torch module in tests/test_torch_parity.py."""
     mid: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv(self.mid, 3, 1, padding=1, name="conv1")(x)
-        b = nn.relu(x)
-        b = Conv(self.mid, 3, 1, padding=1, name="branch_conv1")(b)
+        x = nn.relu(x)   # in-place: relu lands on the residual too
+        b = Conv(self.mid, 3, 1, padding=1, name="branch_conv1")(x)
         b = BatchNorm(name="branch_bn")(b, train)
         b = nn.relu(b)
         b = Conv(self.mid, 3, 1, padding=1, name="branch_conv2")(b)

@@ -1,0 +1,96 @@
+"""Scaffolding for end-to-end converter/forward parity tests against the
+*vendored reference torch code* at /root/reference.
+
+The reference tree is importable (read-only) but some of its third-party
+deps (torchvision, timm, diffusers, xformers) are not installed in this
+environment.  torchvision is only used for `transforms.Compose/Normalize`
+imports in module headers, so a minimal stub unlocks those modules; the
+timm-backed families get hand-written torch oracles instead (see
+tests/torch_oracles.py) — independent reimplementations of the documented
+reference math that reproduce the *checkpoint key layout*, so the real
+converters are exercised end-to-end.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+
+
+def add_reference_path():
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+def stub_torchvision():
+    """Minimal torchvision.transforms: the vendored model modules import
+    Compose/Normalize at module scope but the forward paths under test never
+    call them."""
+    if "torchvision" in sys.modules:
+        return
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean, self.std = mean, std
+
+        def __call__(self, x):
+            return x
+
+    class ToTensor:
+        def __call__(self, x):
+            return x
+
+    tv = types.ModuleType("torchvision")
+    tvt = types.ModuleType("torchvision.transforms")
+    tvt.Compose, tvt.Normalize, tvt.ToTensor = Compose, Normalize, ToTensor
+    tv.transforms = tvt
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tvt
+
+
+def randomize_(torch_model, seed: int = 0, scale: float = 0.05):
+    """Give every float parameter AND buffer (incl. batchnorm running stats)
+    a reproducible non-trivial value so parity tests can't pass by
+    accident."""
+    import torch
+    g = np.random.default_rng(seed)
+    with torch.no_grad():
+        for name, p in torch_model.named_parameters():
+            if "mask_conv" in name:
+                continue   # PartialConv's constant all-ones mask kernel
+            vals = g.normal(scale=scale, size=tuple(p.shape))
+            p.copy_(torch.from_numpy(vals).to(p.dtype))
+        for name, b in torch_model.named_buffers():
+            if not torch.is_floating_point(b):
+                continue
+            if name.endswith("running_var"):
+                vals = 1.0 + 0.1 * g.random(tuple(b.shape))
+            elif name.endswith("running_mean"):
+                vals = g.normal(scale=0.02, size=tuple(b.shape))
+            else:
+                vals = g.normal(scale=scale, size=tuple(b.shape))
+            b.copy_(torch.from_numpy(vals).to(b.dtype))
+    return torch_model
+
+
+def assert_close(torch_out, flax_out, atol=2e-4, rtol=1e-3, tag=""):
+    t = np.asarray(torch_out.detach().cpu().numpy()
+                   if hasattr(torch_out, "detach") else torch_out)
+    f = np.asarray(flax_out)
+    if t.ndim == 4 and f.ndim == 4 and t.shape[1] == f.shape[-1]:
+        t = np.transpose(t, (0, 2, 3, 1))   # NCHW -> NHWC
+    assert t.shape == f.shape, f"{tag}: {t.shape} vs {f.shape}"
+    np.testing.assert_allclose(t, f, atol=atol, rtol=rtol,
+                               err_msg=f"parity mismatch: {tag}")
