@@ -509,6 +509,12 @@ def _zoe_core_head(sd: SDict, seed_prefix: str, attr_prefix: str):
 
 
 def _zoe_clb(sd: SDict, t: str):
+    # constant LogBinomial buffers (k_idx / K_minus_1) are derived from
+    # n_classes and rebuilt at trace time
+    for buf in (".log_binomial_transform.k_idx",
+                ".log_binomial_transform.K_minus_1"):
+        if sd.has(t + buf):
+            sd.used.add(t + buf)
     return {"mlp_conv1": _conv_entry(sd, f"{t}.mlp.0"),
             "mlp_conv2": _conv_entry(sd, f"{t}.mlp.2")}
 

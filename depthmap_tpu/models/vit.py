@@ -133,7 +133,12 @@ class ResNetV2Stages(nn.Module):
     def __call__(self, x):
         h = StdConv(64, 7, 2, name="stem_conv")(x)
         h = GroupNormAct(name="stem_norm")(h)
-        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+        # timm MaxPool2dSame: TF SAME padding is asymmetric (extra row/col
+        # on the bottom/right for even inputs), not (1, 1)
+        from depthmap_tpu.models.layers import tf_same_pads
+        ph = tf_same_pads(h.shape[1], 3, 2)
+        pw = tf_same_pads(h.shape[2], 3, 2)
+        h = jnp.pad(h, ((0, 0), ph, pw, (0, 0)),
                     constant_values=-jnp.inf)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="VALID")
         outs = []

@@ -110,11 +110,58 @@ class AttractorLayerUnnormed(nn.Module):
         dist = inv_attractor if self.attractor_type == "inv" else exp_attractor
         # (N, H, W, A, 1) - (N, H, W, 1, nbins) -> attract every bin center
         dx = A[..., :, None] - b_prev[..., None, :]
-        delta = dist(dx, self.alpha, self.gamma)
+        # Reference quirk (attractor.py:55-63): dist() is invoked WITHOUT
+        # alpha/gamma, so the @torch.jit.script defaults (300, 2) always
+        # apply — the configured attractor_alpha=1000 never reaches the
+        # math.  Verified against the vendored module in
+        # tests/test_torch_oracle_parity.py.
+        delta = dist(dx, 300.0, 2)
         delta = jnp.mean(delta, axis=-2) if self.kind == "mean" \
             else jnp.sum(delta, axis=-2)
         b_new = b_prev + delta
         return b_new, b_new
+
+
+class AttractorLayerNormed(nn.Module):
+    """Bounded-bin attractor (reference layers/attractor.py:60-139,
+    bin_centers_type='normed' — used by zoedepth_k).
+
+    Reference quirk kept: `A_normed = A / A.sum(dim=2)` is computed and then
+    immediately overwritten by `A[:, :, 0]` — the attractor points are the
+    raw (+eps) first element of each (value, norm) pair, NOT normalized."""
+    n_attractors: int = 16
+    mlp_dim: int = 128
+    alpha: float = 300.0
+    gamma: int = 2
+    kind: str = "sum"
+    attractor_type: str = "exp"
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+
+    @nn.compact
+    def __call__(self, x, b_prev, prev_b_embedding=None):
+        if prev_b_embedding is not None:
+            prev_b_embedding = interpolate(prev_b_embedding, x.shape[1:3],
+                                           "bilinear", True)
+            x = x + prev_b_embedding
+        h = Conv(self.mlp_dim, 1, name="conv1")(x)
+        h = nn.relu(h)
+        A = nn.relu(Conv(2 * self.n_attractors, 1, name="conv2")(h)) + 1e-3
+        n, hh, ww, _ = A.shape
+        A = A.reshape(n, hh, ww, self.n_attractors, 2)[..., 0]
+
+        b_prev = interpolate(b_prev, x.shape[1:3], "bilinear", True)
+        dist = inv_attractor if self.attractor_type == "inv" else exp_attractor
+        dx = A[..., :, None] - b_prev[..., None, :]
+        # same quirk as AttractorLayerUnnormed: jit-script defaults (300, 2)
+        delta = dist(dx, 300.0, 2)
+        delta = jnp.mean(delta, axis=-2) if self.kind == "mean" \
+            else jnp.sum(delta, axis=-2)
+        b_new = b_prev + delta
+        centers = (self.max_depth - self.min_depth) * b_new + self.min_depth
+        centers = jnp.sort(centers, axis=-1)
+        centers = jnp.clip(centers, self.min_depth, self.max_depth)
+        return b_new, centers
 
 
 def log_binom_coeff(n, k, eps=1e-7):
@@ -233,23 +280,48 @@ class ZoeCoreHead(nn.Module):
     mlp_dim_seed: int = 256
     attractor_mlp_dim: int = 128
     clb_bottleneck_factor: int = 2
+    bin_centers_type: str = "softplus"   # 'normed' for zoedepth_k
 
     @nn.compact
     def __call__(self, btlnck, seed_embedding, embeddings):
         """btlnck: bottleneck feature; seed_embedding: seed projector output;
         embeddings: per-level projector outputs (computed by the caller so
-        they can be shared between NK experts)."""
-        _, seed_b_centers = SeedBinRegressorUnnormed(
-            self.n_bins, self.mlp_dim_seed, name="seed_bin_regressor")(btlnck)
-        b_prev = seed_b_centers
+        they can be shared between NK experts).
+
+        Returns (final_b_centers, last_embedding): for 'softplus' the
+        unnormed chain's centers ARE the running b_prev; for 'normed' the
+        chain runs on normalized centers and the scaled/sorted/clipped
+        centers from the last attractor are returned
+        (reference zoedepth_v1.py:150-169)."""
+        if self.bin_centers_type == "normed":
+            _, seed_b_centers = SeedBinRegressorNormed(
+                self.n_bins, self.mlp_dim_seed, self.min_depth,
+                self.max_depth, name="seed_bin_regressor")(btlnck)
+            b_prev = (seed_b_centers - self.min_depth) / \
+                (self.max_depth - self.min_depth)
+        else:
+            _, seed_b_centers = SeedBinRegressorUnnormed(
+                self.n_bins, self.mlp_dim_seed,
+                name="seed_bin_regressor")(btlnck)
+            b_prev = seed_b_centers
         prev_b_embedding = seed_embedding
+        b_centers = b_prev
         for i, b_embedding in enumerate(embeddings):
-            b_prev, _ = AttractorLayerUnnormed(
-                self.n_attractors[i], self.attractor_mlp_dim, self.alpha,
-                self.gamma, self.kind, self.attractor_type,
-                name=f"attractor_{i}")(b_embedding, b_prev, prev_b_embedding)
+            if self.bin_centers_type == "normed":
+                b_prev, b_centers = AttractorLayerNormed(
+                    self.n_attractors[i], self.attractor_mlp_dim, self.alpha,
+                    self.gamma, self.kind, self.attractor_type,
+                    self.min_depth, self.max_depth,
+                    name=f"attractor_{i}")(b_embedding, b_prev,
+                                           prev_b_embedding)
+            else:
+                b_prev, b_centers = AttractorLayerUnnormed(
+                    self.n_attractors[i], self.attractor_mlp_dim, self.alpha,
+                    self.gamma, self.kind, self.attractor_type,
+                    name=f"attractor_{i}")(b_embedding, b_prev,
+                                           prev_b_embedding)
             prev_b_embedding = b_embedding
-        return b_prev, embeddings[-1]
+        return b_centers, embeddings[-1]
 
 
 class ZoeDepth(nn.Module):
@@ -264,6 +336,7 @@ class ZoeDepth(nn.Module):
     alpha: float = 1000.0
     attractor_kind: str = "mean"
     attractor_type: str = "inv"
+    bin_centers_type: str = "softplus"   # 'normed' for zoedepth_k
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -279,7 +352,8 @@ class ZoeDepth(nn.Module):
         b_centers, b_embedding = ZoeCoreHead(
             self.n_bins, self.bin_embedding_dim, self.min_depth,
             self.max_depth, alpha=self.alpha, kind=self.attractor_kind,
-            attractor_type=self.attractor_type, name="head")(
+            attractor_type=self.attractor_type,
+            bin_centers_type=self.bin_centers_type, name="head")(
                 btlnck, seed_emb, embeddings)
 
         last = out_conv_act
@@ -397,8 +471,10 @@ def build_zoedepth(variant: str) -> ZoeDepthInference:
         return ZoeDepthInference(
             ZoeDepth(core, max_depth=10.0), img_size=(384, 512))
     if variant == "k":
+        # kitti config: bin_centers_type='normed' (config_zoedepth_kitti.json)
         return ZoeDepthInference(
-            ZoeDepth(core, max_depth=80.0), img_size=(384, 768))
+            ZoeDepth(core, max_depth=80.0, bin_centers_type="normed"),
+            img_size=(384, 768))
     if variant == "nk":
         return ZoeDepthInference(ZoeDepthNK(core), img_size=(384, 512))
     raise ValueError(variant)

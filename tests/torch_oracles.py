@@ -366,3 +366,449 @@ class OracleDPT(nn.Module):
                             align_corners=True)
         out = self.scratch.output_conv[2:](out)
         return out.squeeze(1)
+
+
+# --------------------------------------------------------------------------
+# midas_v21: ResNeXt101-32x8d trunk (vendored lib/Resnext_torch reused as
+# the torchvision-layout encoder) + classic FeatureFusion decoder
+# (dmidas/midas_net.py:13-76, blocks.py:192-207 layer split)
+# --------------------------------------------------------------------------
+
+class ResidualConvUnit(nn.Module):
+    """dmidas/blocks.py ResidualConvUnit (non-custom)."""
+
+    def __init__(self, features):
+        super().__init__()
+        self.conv1 = nn.Conv2d(features, features, 3, 1, 1)
+        self.conv2 = nn.Conv2d(features, features, 3, 1, 1)
+
+    def forward(self, x):
+        out = F.relu(x)
+        out = self.conv1(out)
+        out = F.relu(out)
+        out = self.conv2(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """dmidas/blocks.py FeatureFusionBlock (non-custom): always creates both
+    RCUs (refinenet4's resConfUnit1 exists in checkpoints but is unused)."""
+
+    def __init__(self, features):
+        super().__init__()
+        self.resConfUnit1 = ResidualConvUnit(features)
+        self.resConfUnit2 = ResidualConvUnit(features)
+
+    def forward(self, x, skip=None):
+        out = x
+        if skip is not None:
+            out = out + self.resConfUnit1(skip)
+        out = self.resConfUnit2(out)
+        return F.interpolate(out, scale_factor=2, mode="bilinear",
+                             align_corners=True)
+
+
+class OracleMidasNet(nn.Module):
+    def __init__(self, features=256):
+        super().__init__()
+        import sys
+        sys.path.insert(0, "/root/reference")
+        from lib import Resnext_torch
+        resnet = Resnext_torch.resnext101_32x8d(pretrained=False)
+        self.pretrained = nn.Module()
+        self.pretrained.layer1 = nn.Sequential(
+            resnet.conv1, resnet.bn1, resnet.relu, resnet.maxpool,
+            resnet.layer1)
+        self.pretrained.layer2 = resnet.layer2
+        self.pretrained.layer3 = resnet.layer3
+        self.pretrained.layer4 = resnet.layer4
+        self.scratch = nn.Module()
+        for i, ch in enumerate([256, 512, 1024, 2048]):
+            setattr(self.scratch, f"layer{i + 1}_rn",
+                    nn.Conv2d(ch, features, 3, 1, 1, bias=False))
+        for i in range(1, 5):
+            setattr(self.scratch, f"refinenet{i}", FeatureFusionBlock(features))
+        self.scratch.output_conv = nn.Sequential(
+            nn.Conv2d(features, 128, 3, 1, 1),
+            nn.Identity(),          # Interpolate module (parameter-free)
+            nn.Conv2d(128, 32, 3, 1, 1),
+            nn.ReLU(),
+            nn.Conv2d(32, 1, 1),
+            nn.ReLU(),
+        )
+
+    def forward(self, x):
+        l1 = self.pretrained.layer1(x)
+        l2 = self.pretrained.layer2(l1)
+        l3 = self.pretrained.layer3(l2)
+        l4 = self.pretrained.layer4(l3)
+        r1 = self.scratch.layer1_rn(l1)
+        r2 = self.scratch.layer2_rn(l2)
+        r3 = self.scratch.layer3_rn(l3)
+        r4 = self.scratch.layer4_rn(l4)
+        p4 = self.scratch.refinenet4(r4)
+        p3 = self.scratch.refinenet3(p4, r3)
+        p2 = self.scratch.refinenet2(p3, r2)
+        p1 = self.scratch.refinenet1(p2, r1)
+        out = self.scratch.output_conv[0](p1)
+        out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                            align_corners=False)   # Interpolate default
+        out = self.scratch.output_conv[2:](out)
+        return out.squeeze(1)
+
+
+# --------------------------------------------------------------------------
+# dpt_hybrid: timm vit_base_resnet50_384 = ResNetV2 (StdConv2dSame +
+# GroupNorm32, non-preact, stages (3,4,9), 'same' stem) feeding ViT-B
+# (dmidas/backbones/vit.py:120-242 glue; timm resnetv2 semantics)
+# --------------------------------------------------------------------------
+
+def _tf_same_pad(x, k, s):
+    ih, iw = x.shape[-2:]
+    ph = max(k - s, 0) if ih % s == 0 else max(k - ih % s, 0)
+    pw = max(k - s, 0) if iw % s == 0 else max(k - iw % s, 0)
+    return F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+
+
+class StdConv2dSame(nn.Conv2d):
+    """timm StdConv2dSame: weight standardization (eps 1e-6) + TF SAME."""
+
+    def forward(self, x):
+        w = self.weight
+        mean = w.mean(dim=(1, 2, 3), keepdim=True)
+        var = w.var(dim=(1, 2, 3), keepdim=True, unbiased=False)
+        w = (w - mean) / torch.sqrt(var + 1e-6)
+        x = _tf_same_pad(x, self.kernel_size[0], self.stride[0])
+        return F.conv2d(x, w, self.bias, self.stride, 0)
+
+
+class GroupNormAct(nn.GroupNorm):
+    def __init__(self, ch, act=True):
+        super().__init__(32, ch)
+        self.act = act
+
+    def forward(self, x):
+        x = super().forward(x)
+        return F.relu(x) if self.act else x
+
+
+class RNV2Bottleneck(nn.Module):
+    def __init__(self, in_ch, out_ch, stride):
+        super().__init__()
+        mid = out_ch // 4
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = nn.Module()
+            self.downsample.conv = StdConv2dSame(in_ch, out_ch, 1,
+                                                 stride, bias=False)
+            self.downsample.norm = GroupNormAct(out_ch, act=False)
+        else:
+            self.downsample = None
+        self.conv1 = StdConv2dSame(in_ch, mid, 1, 1, bias=False)
+        self.norm1 = GroupNormAct(mid)
+        self.conv2 = StdConv2dSame(mid, mid, 3, stride, bias=False)
+        self.norm2 = GroupNormAct(mid)
+        self.conv3 = StdConv2dSame(mid, out_ch, 1, 1, bias=False)
+        self.norm3 = GroupNormAct(out_ch, act=False)
+
+    def forward(self, x):
+        shortcut = x
+        if self.downsample is not None:
+            shortcut = self.downsample.norm(self.downsample.conv(x))
+        h = self.norm1(self.conv1(x))
+        h = self.norm2(self.conv2(h))
+        h = self.norm3(self.conv3(h))
+        return F.relu(h + shortcut)
+
+
+class RNV2Stage(nn.Module):
+    def __init__(self, in_ch, out_ch, n, stride):
+        super().__init__()
+        blocks = [RNV2Bottleneck(in_ch, out_ch, stride)]
+        blocks += [RNV2Bottleneck(out_ch, out_ch, 1) for _ in range(n - 1)]
+        self.blocks = nn.Sequential(*blocks)
+
+    def forward(self, x):
+        return self.blocks(x)
+
+
+class OracleHybridVit(nn.Module):
+    """pretrained.model twin of timm vit_base_resnet50_384 (key layout per
+    convert_dpt_hybrid)."""
+
+    def __init__(self, dim=768, depth=12, img_size=384):
+        super().__init__()
+        self.patch_size = 16
+        self.patch_embed = nn.Module()
+        backbone = nn.Module()
+        backbone.stem = nn.Module()
+        backbone.stem.conv = StdConv2dSame(3, 64, 7, 2, bias=False)
+        backbone.stem.norm = GroupNormAct(64)
+        backbone.stages = nn.ModuleList([
+            RNV2Stage(64, 256, 3, 1),
+            RNV2Stage(256, 512, 4, 2),
+            RNV2Stage(512, 1024, 9, 2),
+        ])
+        self.patch_embed.backbone = backbone
+        self.patch_embed.proj = nn.Conv2d(1024, dim, 1, 1)
+        gs = img_size // 16
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, gs * gs + 1, dim))
+        self.blocks = nn.ModuleList(
+            [OracleVitBlock(dim, 12) for _ in range(depth)])
+
+    def forward_collect(self, x, vit_hooks=(8, 11)):
+        """-> (stage1_out, stage2_out, tokens@hook0, tokens@hook1)."""
+        b = self.patch_embed.backbone
+        h = b.stem.norm(b.stem.conv(x))
+        h = F.max_pool2d(_tf_same_pad(h, 3, 2), 3, 2)
+        s1 = b.stages[0](h)
+        s2 = b.stages[1](s1)
+        s3 = b.stages[2](s2)
+        t = self.patch_embed.proj(s3).flatten(2).transpose(1, 2)
+        t = torch.cat((self.cls_token.expand(t.shape[0], -1, -1), t), dim=1)
+        gh, gw = x.shape[2] // 16, x.shape[3] // 16
+        # _resize_pos_embed (dmidas/backbones/vit.py:16-30)
+        tok, grid = self.pos_embed[:, :1], self.pos_embed[0, 1:]
+        gs_old = int(math.sqrt(grid.shape[0]))
+        grid = grid.reshape(1, gs_old, gs_old, -1).permute(0, 3, 1, 2)
+        grid = F.interpolate(grid, size=(gh, gw), mode="bilinear")
+        grid = grid.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
+        t = t + torch.cat([tok, grid], dim=1)
+        outs = []
+        for i, blk in enumerate(self.blocks):
+            t = blk(t)
+            if i in vit_hooks:
+                outs.append(t)
+        return s1, s2, outs[0], outs[1]
+
+
+class OracleDPTHybrid(nn.Module):
+    """DPTDepthModel(backbone='vitb_rn50_384') twin (dpt_depth.py hooks
+    [0,1,8,11]; act_postprocess1/2 Identity, 3 readout+proj, 4 +conv s2)."""
+
+    def __init__(self, img_size=384):
+        super().__init__()
+        dim, features = 768, 256
+        rc = [256, 512, 768, 768]
+        self.pretrained = nn.Module()
+        self.pretrained.model = OracleHybridVit(dim, 12, img_size)
+        self.pretrained.act_postprocess1 = nn.Sequential(
+            nn.Identity(), nn.Identity(), nn.Identity())
+        self.pretrained.act_postprocess2 = nn.Sequential(
+            nn.Identity(), nn.Identity(), nn.Identity())
+        self.pretrained.act_postprocess3 = nn.Sequential(
+            ProjectReadout(dim), nn.Identity(), nn.Identity(),
+            nn.Conv2d(dim, rc[2], 1))
+        self.pretrained.act_postprocess4 = nn.Sequential(
+            ProjectReadout(dim), nn.Identity(), nn.Identity(),
+            nn.Conv2d(dim, rc[3], 1),
+            nn.Conv2d(rc[3], rc[3], 3, 2, 1))
+        self.scratch = nn.Module()
+        for i, ch in enumerate(rc):
+            setattr(self.scratch, f"layer{i + 1}_rn",
+                    nn.Conv2d(ch, features, 3, 1, 1, bias=False))
+        self.scratch.refinenet1 = FeatureFusionBlockCustom(features)
+        self.scratch.refinenet2 = FeatureFusionBlockCustom(features)
+        self.scratch.refinenet3 = FeatureFusionBlockCustom(features)
+        self.scratch.refinenet4 = FeatureFusionBlockCustom(features,
+                                                           with_rcu1=False)
+        self.scratch.output_conv = nn.Sequential(
+            nn.Conv2d(features, features // 2, 3, 1, 1),
+            nn.Identity(),
+            nn.Conv2d(features // 2, 32, 3, 1, 1),
+            nn.ReLU(),
+            nn.Conv2d(32, 1, 1),
+            nn.ReLU(),
+            nn.Identity(),
+        )
+
+    def forward(self, x):
+        gh, gw = x.shape[2] // 16, x.shape[3] // 16
+        s1, s2, t3, t4 = self.pretrained.model.forward_collect(x)
+        l3 = self.pretrained.act_postprocess3[0](t3)
+        l3 = l3.transpose(1, 2).unflatten(2, (gh, gw))
+        l3 = self.pretrained.act_postprocess3[3:](l3)
+        l4 = self.pretrained.act_postprocess4[0](t4)
+        l4 = l4.transpose(1, 2).unflatten(2, (gh, gw))
+        l4 = self.pretrained.act_postprocess4[3:](l4)
+        l1 = self.scratch.layer1_rn(s1)
+        l2 = self.scratch.layer2_rn(s2)
+        l3 = self.scratch.layer3_rn(l3)
+        l4 = self.scratch.layer4_rn(l4)
+        p4 = self.scratch.refinenet4(l4, size=l3.shape[2:])
+        p3 = self.scratch.refinenet3(p4, l3, size=l2.shape[2:])
+        p2 = self.scratch.refinenet2(p3, l2, size=l1.shape[2:])
+        p1 = self.scratch.refinenet1(p2, l1)
+        out = self.scratch.output_conv[0](p1)
+        out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                            align_corners=True)
+        out = self.scratch.output_conv[2:](out)
+        return out.squeeze(1)
+
+
+# --------------------------------------------------------------------------
+# midas_v21_small: gen-efficientnet tf_efficientnet_lite3 (TF SAME padding,
+# BN eps 1e-3, ReLU6, no SE) split per dmidas/blocks.py:179-190, + expand
+# FeatureFusion decoder (dmidas/midas_net_custom.py:12-105)
+# --------------------------------------------------------------------------
+
+def _lite_round_channels(c, divisor=8):
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return new_c
+
+
+class Conv2dSameTF(nn.Conv2d):
+    """nn.Conv2d with TF SAME padding applied in forward (gen-efficientnet
+    tf_ variants)."""
+
+    def forward(self, x):
+        x = _tf_same_pad(x, self.kernel_size[0], self.stride[0])
+        return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                        self.dilation, self.groups)
+
+
+class DSBlock(nn.Module):
+    """DepthwiseSeparableConv (stage 0): conv_dw/bn1/act + conv_pw/bn2."""
+
+    def __init__(self, in_ch, out_ch, k, s):
+        super().__init__()
+        self.conv_dw = Conv2dSameTF(in_ch, in_ch, k, s, groups=in_ch,
+                                    bias=False)
+        self.bn1 = nn.BatchNorm2d(in_ch, eps=1e-3)
+        self.conv_pw = Conv2dSameTF(in_ch, out_ch, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_ch, eps=1e-3)
+        self.residual = s == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        h = F.relu6(self.bn1(self.conv_dw(x)))
+        h = self.bn2(self.conv_pw(h))
+        return h + x if self.residual else h
+
+
+class IRBlock(nn.Module):
+    """InvertedResidual: conv_pw/bn1/act + conv_dw/bn2/act + conv_pwl/bn3."""
+
+    def __init__(self, in_ch, out_ch, k, s, expand):
+        super().__init__()
+        mid = in_ch * expand
+        self.conv_pw = Conv2dSameTF(in_ch, mid, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_dw = Conv2dSameTF(mid, mid, k, s, groups=mid, bias=False)
+        self.bn2 = nn.BatchNorm2d(mid, eps=1e-3)
+        self.conv_pwl = Conv2dSameTF(mid, out_ch, 1, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_ch, eps=1e-3)
+        self.residual = s == 1 and in_ch == out_ch
+
+    def forward(self, x):
+        h = F.relu6(self.bn1(self.conv_pw(x)))
+        h = F.relu6(self.bn2(self.conv_dw(h)))
+        h = self.bn3(self.conv_pwl(h))
+        return h + x if self.residual else h
+
+
+def _lite3_stages():
+    """(kernel, stride, expand, out_ch, repeats) per stage, width 1.2 /
+    depth 1.4, first/last repeats unscaled (EfficientNet-Lite recipe)."""
+    base = [(3, 1, 1, 16, 1), (3, 2, 6, 24, 2), (5, 2, 6, 40, 2),
+            (3, 2, 6, 80, 3), (5, 1, 6, 112, 3), (5, 2, 6, 192, 4),
+            (3, 1, 6, 320, 1)]
+    out = []
+    for i, (k, s, e, c, n) in enumerate(base):
+        c = _lite_round_channels(c * 1.2)
+        if i not in (0, len(base) - 1):
+            n = math.ceil(n * 1.4)
+        out.append((k, s, e, c, n))
+    return out
+
+
+class OracleMidasSmall(nn.Module):
+    def __init__(self, features=64):
+        super().__init__()
+        stages = _lite3_stages()
+        stem = Conv2dSameTF(3, 32, 3, 2, bias=False)
+        bn1 = nn.BatchNorm2d(32, eps=1e-3)
+        blocks = []
+        in_ch = 32
+        for (k, s, e, c, n) in stages:
+            stage = []
+            for bi in range(n):
+                stride = s if bi == 0 else 1
+                if e == 1:
+                    stage.append(DSBlock(in_ch, c, k, stride))
+                else:
+                    stage.append(IRBlock(in_ch, c, k, stride, e))
+                in_ch = c
+            blocks.append(nn.Sequential(*stage))
+
+        # dmidas split: layer1 = [conv_stem, bn1, act1, blocks0, blocks1]
+        act1 = nn.ReLU6()
+        self.pretrained = nn.Module()
+        self.pretrained.layer1 = nn.Sequential(stem, bn1, act1, blocks[0],
+                                               blocks[1])
+        self.pretrained.layer2 = nn.Sequential(blocks[2])
+        self.pretrained.layer3 = nn.Sequential(blocks[3], blocks[4])
+        self.pretrained.layer4 = nn.Sequential(blocks[5], blocks[6])
+
+        F_ = features
+        rc = [32, 48, 136, 384]
+        outc = [F_, F_ * 2, F_ * 4, F_ * 8]   # expand scratch
+        self.scratch = nn.Module()
+        for i in range(4):
+            setattr(self.scratch, f"layer{i + 1}_rn",
+                    nn.Conv2d(rc[i], outc[i], 3, 1, 1, bias=False))
+
+        class FFBExpand(nn.Module):
+            """FeatureFusionBlock_custom(expand=True): out_conv halves
+            channels; scale-2 upsample (no size arg in midas_small)."""
+
+            def __init__(self, feats, expand=True, with_rcu1=True):
+                super().__init__()
+                out_feats = feats // 2 if expand else feats
+                self.out_conv = nn.Conv2d(feats, out_feats, 1)
+                if with_rcu1:
+                    self.resConfUnit1 = ResidualConvUnitCustom(feats)
+                self.resConfUnit2 = ResidualConvUnitCustom(feats)
+
+            def forward(self, x, skip=None):
+                out = x
+                if skip is not None:
+                    out = out + self.resConfUnit1(skip)
+                out = self.resConfUnit2(out)
+                out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                                    align_corners=True)
+                return self.out_conv(out)
+
+        self.scratch.refinenet4 = FFBExpand(F_ * 8, True, with_rcu1=False)
+        self.scratch.refinenet3 = FFBExpand(F_ * 4, True)
+        self.scratch.refinenet2 = FFBExpand(F_ * 2, True)
+        self.scratch.refinenet1 = FFBExpand(F_, False)
+        self.scratch.output_conv = nn.Sequential(
+            nn.Conv2d(F_, F_ // 2, 3, 1, 1),
+            nn.Identity(),
+            nn.Conv2d(F_ // 2, 32, 3, 1, 1),
+            nn.ReLU(),
+            nn.Conv2d(32, 1, 1),
+            nn.ReLU(),
+            nn.Identity(),
+        )
+
+    def forward(self, x):
+        l1 = self.pretrained.layer1(x)
+        l2 = self.pretrained.layer2(l1)
+        l3 = self.pretrained.layer3(l2)
+        l4 = self.pretrained.layer4(l3)
+        r1 = self.scratch.layer1_rn(l1)
+        r2 = self.scratch.layer2_rn(l2)
+        r3 = self.scratch.layer3_rn(l3)
+        r4 = self.scratch.layer4_rn(l4)
+        p4 = self.scratch.refinenet4(r4)
+        p3 = self.scratch.refinenet3(p4, r3)
+        p2 = self.scratch.refinenet2(p3, r2)
+        p1 = self.scratch.refinenet1(p2, r1)
+        out = self.scratch.output_conv[0](p1)
+        out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                            align_corners=False)
+        out = self.scratch.output_conv[2:](out)
+        return out.squeeze(1)

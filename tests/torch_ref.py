@@ -42,11 +42,18 @@ def stub_torchvision():
             return x
 
     class Normalize:
+        """Real channel normalization on (N, C, H, W) tensors — MidasCore's
+        PrepForMidas uses it in the zoe forward path."""
         def __init__(self, mean, std):
             self.mean, self.std = mean, std
 
         def __call__(self, x):
-            return x
+            import torch as _torch
+            mean = _torch.as_tensor(self.mean, dtype=x.dtype,
+                                    device=x.device).view(1, -1, 1, 1)
+            std = _torch.as_tensor(self.std, dtype=x.dtype,
+                                   device=x.device).view(1, -1, 1, 1)
+            return (x - mean) / std
 
     class ToTensor:
         def __call__(self, x):
@@ -75,6 +82,8 @@ def randomize_(torch_model, seed: int = 0, scale: float = 0.05):
         for name, b in torch_model.named_buffers():
             if not torch.is_floating_point(b):
                 continue
+            if "log_binomial_transform" in name:
+                continue   # constant k-index tables, not weights
             if name.endswith("running_var"):
                 vals = 1.0 + 0.1 * g.random(tuple(b.shape))
             elif name.endswith("running_mean"):
