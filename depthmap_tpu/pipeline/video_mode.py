@@ -29,11 +29,110 @@ from depthmap_tpu.io.image import get_next_sequence_number
 from depthmap_tpu.options import GenerationOptions
 
 
+def read_depth_video_16(path: str):
+    """Lossless gray16le depth-video ingest (reference video_mode.py:39-55
+    reads 16-bit FFV1 AVIs written by the depth encoder).  Returns
+    (fps, [I;16 frames]) or None when pyav is absent / the stream is not
+    16-bit grayscale."""
+    try:
+        import av
+    except Exception:
+        return None
+    try:
+        container = av.open(path)
+        stream = container.streams.video[0]
+        if "gray16" not in str(stream.codec_context.format.name):
+            container.close()
+            return None
+        fps = float(stream.average_rate or 24)
+        frames = []
+        for frame in container.decode(video=0):
+            arr = frame.to_ndarray(format="gray16le")
+            frames.append(Image.fromarray(arr.astype(np.uint16), mode="I;16"))
+        container.close()
+        return fps, frames
+    except Exception:
+        return None
+
+
+def write_depth_video_16(frames: List[Image.Image], fps: float,
+                         out_path: str) -> bool:
+    """FFV1 gray16le AVI writer (reference video_mode.py:72-84); returns
+    False when pyav is unavailable (caller falls back to a PNG sequence)."""
+    try:
+        import av
+        from fractions import Fraction
+    except Exception:
+        return False
+    try:
+        w, h = frames[0].size
+        container = av.open(out_path, "w", format="avi")
+        stream = container.add_stream("ffv1",
+                                      rate=Fraction(fps).limit_denominator())
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "gray16le"
+        for f in frames:
+            vf = av.VideoFrame.from_ndarray(
+                np.asarray(f, dtype=np.uint16), format="gray16le")
+            for pkt in stream.encode(vf):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+        container.close()
+        return True
+    except Exception:
+        return False
+
+
+def _write_color_video(arrs: List[np.ndarray], fps: float, path: str,
+                       name: str, colorvids_bitrate: Optional[int] = None
+                       ) -> Optional[str]:
+    """Reference codec priority chain (video_mode.py:85-99): png/rawvideo
+    AVI -> libx264 mp4 -> libvpx webm; reversed (smallest-first) when a
+    bitrate is requested.  Returns the written path or None (no pyav)."""
+    try:
+        import av
+        from fractions import Fraction
+    except Exception:
+        return None
+    priority = [("avi", "png"), ("avi", "rawvideo"), ("mp4", "libx264"),
+                ("webm", "libvpx")]
+    if colorvids_bitrate:
+        priority = list(reversed(priority))
+    for v_format, codec in priority:
+        out = os.path.join(path, f"{name}.{v_format}")
+        try:
+            container = av.open(out, "w", format=v_format)
+            stream = container.add_stream(
+                codec, rate=Fraction(fps).limit_denominator())
+            stream.width, stream.height = arrs[0].shape[1], arrs[0].shape[0]
+            stream.pix_fmt = "rgb24" if codec in ("png", "rawvideo") \
+                else "yuv420p"
+            if colorvids_bitrate and codec not in ("png", "rawvideo"):
+                stream.bit_rate = int(colorvids_bitrate) * 1000
+            for a in arrs:
+                vf = av.VideoFrame.from_ndarray(a, format="rgb24")
+                for pkt in stream.encode(vf):
+                    container.mux(pkt)
+            for pkt in stream.encode():
+                container.mux(pkt)
+            container.close()
+            return out
+        except Exception:
+            import traceback
+            traceback.print_exc()
+    return None
+
+
 def open_path_as_images(path: str, maybe_depthvideo: bool = False
                         ) -> Tuple[float, List[Image.Image]]:
     """(fps, frames).  Frames are PIL images."""
     p = pathlib.Path(path)
     suffix = p.suffix.lower()
+    if suffix == ".avi" and maybe_depthvideo:
+        got = read_depth_video_16(path)
+        if got is not None:
+            return got
     if p.is_dir():
         files = sorted(f for f in p.iterdir()
                        if f.suffix.lower() in (".png", ".jpg", ".jpeg",
@@ -75,8 +174,12 @@ def frames_to_video(fps: float, frames: List[Image.Image], path: str,
     os.makedirs(path, exist_ok=True)
     written = []
     if frames[0].mode.startswith("I"):  # 16-bit depth video
-        # reference writes gray16le FFV1 AVI; without ffmpeg we keep full
-        # fidelity with a 16-bit PNG sequence
+        # reference writes gray16le FFV1 AVI (video_mode.py:72-84); without
+        # pyav we keep full fidelity with a 16-bit PNG sequence
+        avi_path = os.path.join(path, f"{name}.avi")
+        if write_depth_video_16(frames, fps, avi_path):
+            written.append(avi_path)
+            return written
         seq_dir = os.path.join(path, name)
         os.makedirs(seq_dir, exist_ok=True)
         for i, f in enumerate(frames):
@@ -88,6 +191,12 @@ def frames_to_video(fps: float, frames: List[Image.Image], path: str,
         return written
 
     arrs = [f.convert("RGB") for f in frames]
+    vid_path = _write_color_video([np.asarray(a) for a in arrs], fps, path,
+                                  name, colorvids_bitrate)
+    if vid_path is not None:
+        written.append(vid_path)
+        return written
+    # no ffmpeg/pyav backend: GIF keeps the output viewable everywhere
     gif_path = os.path.join(path, f"{name}.gif")
     arrs[0].save(gif_path, save_all=True, append_images=arrs[1:],
                  duration=max(int(round(1000 / fps)), 1), loop=0)

@@ -68,3 +68,58 @@ def test_gen_video_end_to_end(tmp_path):
     assert img.mode.startswith("I")
     gifs = [w for w in written if w.endswith(".gif")]
     assert gifs
+
+
+def test_depth_video_roundtrip_fallback(tmp_path):
+    """I;16 depth frames -> frames_to_video -> re-ingest: bit-equal.
+    Without pyav the encoder falls back to a 16-bit PNG sequence; with pyav
+    it writes an FFV1 gray16le AVI (reference video_mode.py:72-84) — both
+    paths must round-trip losslessly."""
+    from depthmap_tpu.pipeline.video_mode import (frames_to_video,
+                                                  open_path_as_images)
+    rng = np.random.default_rng(7)
+    frames = [Image.fromarray((rng.random((32, 48)) * 65535)
+                              .astype(np.uint16), mode="I;16")
+              for _ in range(4)]
+    written = frames_to_video(12.0, frames, str(tmp_path), "depth")
+    assert len(written) == 1
+    out = written[0]
+    fps, back = open_path_as_images(out, maybe_depthvideo=True)
+    assert len(back) == 4
+    for orig, got in zip(frames, back):
+        np.testing.assert_array_equal(np.asarray(orig, dtype=np.uint16),
+                                      np.asarray(got, dtype=np.uint16))
+
+
+def test_depth_video_ffv1_roundtrip_pyav(tmp_path):
+    """Same roundtrip, explicitly through the FFV1 writer (pyav-gated)."""
+    pytest.importorskip("av")
+    from depthmap_tpu.pipeline.video_mode import (read_depth_video_16,
+                                                  write_depth_video_16)
+    rng = np.random.default_rng(8)
+    frames = [Image.fromarray((rng.random((32, 48)) * 65535)
+                              .astype(np.uint16), mode="I;16")
+              for _ in range(3)]
+    out = str(tmp_path / "d.avi")
+    assert write_depth_video_16(frames, 24.0, out)
+    fps, back = read_depth_video_16(out)
+    assert abs(fps - 24.0) < 1e-6
+    for orig, got in zip(frames, back):
+        np.testing.assert_array_equal(np.asarray(orig, dtype=np.uint16),
+                                      np.asarray(got, dtype=np.uint16))
+
+
+def test_color_video_codec_chain_gated(tmp_path):
+    """Color encode goes through the reference codec priority chain when
+    pyav exists; otherwise falls back to GIF (still written)."""
+    from depthmap_tpu.pipeline.video_mode import frames_to_video
+    rng = np.random.default_rng(9)
+    frames = [Image.fromarray((rng.random((32, 48, 3)) * 255)
+                              .astype(np.uint8)) for _ in range(3)]
+    written = frames_to_video(10.0, frames, str(tmp_path), "color")
+    assert written
+    try:
+        import av  # noqa: F401
+        assert written[0].endswith((".avi", ".mp4", ".webm"))
+    except ImportError:
+        assert written[0].endswith(".gif")
