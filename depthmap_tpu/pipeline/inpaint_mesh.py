@@ -150,6 +150,18 @@ def _grid_faces(index_map: np.ndarray) -> np.ndarray:
     return np.concatenate([f1, f2], axis=0)
 
 
+def tear_sets(disp: np.ndarray, depth_threshold: float):
+    """Torn 4-neighbor edges (reference tear_edges, inpaint/mesh.py:71-88:
+    an edge is removed when |disp(a) - disp(b)| > threshold).  Returns
+    (dh, dv): dh[(y, x)] tears the edge (y,x)-(y,x+1), dv the vertical one.
+    The reference's extra dangling-edge pass (:91-108) removes isolated
+    single connections *between* two parallel tears; fidelity vs that pass
+    is quantified in tests/test_ldi_fidelity.py."""
+    dh = np.abs(disp[:, 1:] - disp[:, :-1]) > depth_threshold   # (H, W-1)
+    dv = np.abs(disp[1:, :] - disp[:-1, :]) > depth_threshold   # (H-1, W)
+    return dh, dv
+
+
 def build_ldi(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
               config: Dict, nets: Optional[Dict] = None):
     """(verts, colors, faces, mean_loc_depth).
@@ -166,9 +178,7 @@ def build_ldi(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
     hfov, vfov = fov_from_int_mtx(int_mtx, H, W)
 
     disp = 1.0 / np.maximum(depth, 1e-8)
-    # cross-cell discontinuities
-    dh = np.abs(disp[:, 1:] - disp[:, :-1]) > depth_threshold   # (H, W-1)
-    dv = np.abs(disp[1:, :] - disp[:-1, :]) > depth_threshold   # (H-1, W)
+    dh, dv = tear_sets(disp, depth_threshold)
 
     edge_px = np.zeros((H, W), bool)
     edge_px[:, 1:] |= dh
