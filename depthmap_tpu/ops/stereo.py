@@ -257,6 +257,22 @@ def apply_stereo_divergence(image, depth, divergence, separation,
         return apply_stereo_divergence_naive(
             image, nd, divergence_px, separation_px, exponent, fill_technique)
     if fill_technique in ("polylines_soft", "polylines_sharp"):
+        import os
+        if os.environ.get("DEPTHMAP_POLYLINES_TPU") == "1" and \
+                jax.default_backend() in ("tpu",):
+            # Experimental XLA sort/scan rasterizer (ops/polylines_tpu.py).
+            # Measured on v5e: the exact algorithm is bound by
+            # data-dependent gathers (~11 ns/element on TPU), ending up
+            # slower than the multithreaded C++ host kernel at 1080p — so
+            # the host kernel stays the default, matching the reference's
+            # own CPU placement for stereo (README.md:60).  The TPU batched
+            # fast path for stereo video is the 'naive' fill
+            # (stereo_pair_batch).
+            from depthmap_tpu.ops.polylines_tpu import polylines_rasterize
+            return np.asarray(polylines_rasterize(
+                image.astype(jnp.uint8), nd, float(divergence_px),
+                float(separation_px), float(exponent),
+                fill_technique == "polylines_sharp"))
         from depthmap_tpu.ops.polylines import apply_stereo_divergence_polylines
         return apply_stereo_divergence_polylines(
             image, nd, divergence_px, separation_px, exponent, fill_technique)
