@@ -339,8 +339,8 @@ class ZoeDepth(nn.Module):
     bin_centers_type: str = "softplus"   # 'normed' for zoedepth_k
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        rel_depth, taps = self.core(x, train=train)
+    def __call__(self, x, train: bool = False, rel_bias=None):
+        rel_depth, taps = self.core(x, train=train, rel_bias=rel_bias)
         out_conv_act, btlnck, *x_blocks = taps
 
         btlnck = Conv(btlnck.shape[-1], 1, name="conv2")(btlnck)
@@ -383,8 +383,8 @@ class ZoeDepthNK(nn.Module):
     alpha: float = 1000.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        rel_depth, taps = self.core(x, train=train)
+    def __call__(self, x, train: bool = False, rel_bias=None):
+        rel_depth, taps = self.core(x, train=train, rel_bias=rel_bias)
         out_conv_act, btlnck, *x_blocks = taps
         btlnck = Conv(btlnck.shape[-1], 1, name="conv2")(btlnck)
 
@@ -437,23 +437,34 @@ class ZoeDepthInference(nn.Module):
     model: nn.Module
     img_size: Tuple[int, int] = (384, 512)   # (H, W)
 
+    @staticmethod
+    def net_input_size(h: int, w: int, net_size: Optional[Tuple[int, int]],
+                       img_size: Tuple[int, int]) -> Tuple[int, int]:
+        """(new_h, new_w) the padded+flip-TTA batch is resized to — a pure
+        function of static shapes, shared with DepthPredictor so the BEiT
+        rel-pos biases can be precomputed per resolution bucket."""
+        net_h, net_w = net_size if net_size is not None else img_size
+        pad_h = int(np.sqrt(h / 2) * 3)
+        pad_w = int(np.sqrt(w / 2) * 3)
+        new_w, new_h = resize_get_size(w + 2 * pad_w, h + 2 * pad_h,
+                                       net_w, net_h, "minimal", True, 32)
+        return new_h, new_w
+
     @nn.compact
     def __call__(self, x01, net_size: Optional[Tuple[int, int]] = None,
-                 train: bool = False):
+                 train: bool = False, rel_bias=None):
         """x01: (N, H, W, 3) RGB in [0,1] -> (N, H, W) metric depth."""
         n, h, w, _ = x01.shape
-        net_h, net_w = net_size if net_size is not None else self.img_size
         pad_h = int(np.sqrt(h / 2) * 3)
         pad_w = int(np.sqrt(w / 2) * 3)
         xp = jnp.pad(x01, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)),
                      mode="reflect")
         # flip TTA as one batch of 2N
         xb = jnp.concatenate([xp, xp[:, :, ::-1]], axis=0)
-        new_w, new_h = resize_get_size(xb.shape[2], xb.shape[1], net_w, net_h,
-                                       "minimal", True, 32)
+        new_h, new_w = self.net_input_size(h, w, net_size, self.img_size)
         xr = interpolate(xb, (new_h, new_w), "bilinear", True)
         xr = (xr - 0.5) / 0.5
-        pred = self.model(xr, train=train)
+        pred = self.model(xr, train=train, rel_bias=rel_bias)
         pred = interpolate(pred[..., None], (xp.shape[1], xp.shape[2]),
                            "bicubic", False)[..., 0]
         if pad_h > 0:

@@ -130,20 +130,30 @@ class DepthPredictor:
             return None
 
     # -- inference ---------------------------------------------------------
-    @property
-    def _beit_bias_hoist(self) -> bool:
-        """True when the model is a DPT over a BEiT backbone (types 1/2):
-        the relative-position bias gather is hoisted out of the per-frame
-        forward (precomputed per resolution bucket)."""
+    def _beit_hoist_info(self):
+        """(backbone, backbone_params) when the model contains a BEiT
+        backbone whose relative-position bias gather can be hoisted out of
+        the per-frame forward: plain DPT (types 1/2) or the ZoeDepth stack
+        (types 7-9, backbone at model.core.backbone)."""
         from depthmap_tpu.models.beit import BeitBackbone
         m = self.bundle.module
-        return isinstance(getattr(m, "backbone", None), BeitBackbone)
+        bb = getattr(m, "backbone", None)
+        if isinstance(bb, BeitBackbone):
+            return bb, self.variables["params"]["backbone"]
+        core = getattr(getattr(m, "model", None), "core", None)
+        bb = getattr(core, "backbone", None)
+        if isinstance(bb, BeitBackbone):
+            return bb, self.variables["params"]["model"]["core"]["backbone"]
+        return None, None
+
+    @property
+    def _beit_bias_hoist(self) -> bool:
+        return self._beit_hoist_info()[0] is not None
 
     def _rel_biases(self, grid: Tuple[int, int]):
         if grid not in self._bias_cache:
             from depthmap_tpu.models.beit import precompute_rel_biases
-            backbone = self.bundle.module.backbone
-            params = self.variables["params"]["backbone"]
+            backbone, params = self._beit_hoist_info()
             self._bias_cache[grid] = precompute_rel_biases(
                 backbone, params, grid, dtype=self.compute_dtype)
         return self._bias_cache[grid]
@@ -155,7 +165,14 @@ class DepthPredictor:
             bundle = self.bundle
             dt = self.compute_dtype
 
-            if bundle.prep_in_model:
+            if bundle.prep_in_model and self._beit_bias_hoist:
+                @jax.jit
+                def run(variables, x, rel_bias):
+                    pred = bundle.module.apply(variables, x.astype(dt),
+                                               net_size=net_size,
+                                               rel_bias=rel_bias)
+                    return pred.astype(jnp.float32)
+            elif bundle.prep_in_model:
                 @jax.jit
                 def run(variables, x):
                     pred = bundle.module.apply(variables, x.astype(dt),
@@ -186,9 +203,18 @@ class DepthPredictor:
                net_size: Optional[Tuple[int, int]] = None):
         """Dispatch one compiled forward on preprocessed input `x`."""
         run = self._forward_fn(out_h, out_w, net_size)
-        if net_size is None and self._beit_bias_hoist:
-            patch = self.bundle.module.backbone.patch_size
-            grid = (x.shape[1] // patch, x.shape[2] // patch)
+        backbone, _ = self._beit_hoist_info()
+        if backbone is not None:
+            if self.bundle.prep_in_model:
+                # ZoeDepth resizes internally; its net input size is a pure
+                # function of static shapes (ZoeDepthInference.net_input_size)
+                m = self.bundle.module
+                nh, nw = m.net_input_size(x.shape[1], x.shape[2], net_size,
+                                          m.img_size)
+                grid = (nh // backbone.patch_size, nw // backbone.patch_size)
+            else:
+                grid = (x.shape[1] // backbone.patch_size,
+                        x.shape[2] // backbone.patch_size)
             return run(self.variables, x, self._rel_biases(grid))
         return run(self.variables, x)
 

@@ -46,3 +46,33 @@ def test_zoedepth_inference_tta(rng):
     out = m.apply(vars_, x)
     assert out.shape == (1, 50, 70)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zoe_rel_bias_hoist_matches_inline(rng):
+    """ZoeDepthInference(x, rel_bias=precomputed) == in-model bias gather
+    (the production fast path for types 7-9)."""
+    import dataclasses
+    from depthmap_tpu.models.beit import BeitBackbone, precompute_rel_biases
+    from depthmap_tpu.models.dpt import DPTDepthModel
+    from depthmap_tpu.models.zoedepth import ZoeDepth, ZoeDepthInference
+
+    bb = BeitBackbone(embed_dim=32, depth=4, num_heads=2, hooks=(0, 1, 2, 3),
+                      train_img_size=64, patch_size=16)
+    core = DPTDepthModel(backbone=bb, reassemble_channels=(8, 16, 24, 24),
+                         features=32, with_zoe_taps=True)
+    model = ZoeDepthInference(ZoeDepth(core, n_bins=8, bin_embedding_dim=16),
+                              img_size=(64, 64))
+    x = jnp.asarray(rng.random((1, 48, 48, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(
+        lambda a: a + 0.01 * jnp.asarray(
+            np.random.default_rng(3).normal(size=a.shape), a.dtype), v)
+    ref = model.apply(v, x)
+
+    nh, nw = ZoeDepthInference.net_input_size(48, 48, None, (64, 64))
+    grid = (nh // 16, nw // 16)
+    biases = precompute_rel_biases(
+        bb, v["params"]["model"]["core"]["backbone"], grid)
+    out = model.apply(v, x, rel_bias=biases)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=0, atol=1e-5)
