@@ -260,6 +260,12 @@ class DepthPredictor:
         batch/video modes and Boost patches."""
         if net_w is None or net_h is None:
             net_w, net_h = self.spec.default_net_size
+        if self.model_type == 10:   # Marigold: diffusion pipeline, no
+            # single jittable forward — iterate (ensemble batching happens
+            # inside the pipeline)
+            return np.stack([
+                self.predict(f, net_w, net_h, resize_mode)
+                for f in np.asarray(imgs01, np.float32)])
         xs = np.concatenate([
             self._prep(f, net_w, net_h, resize_mode)
             for f in np.asarray(imgs01, np.float32)], axis=0)

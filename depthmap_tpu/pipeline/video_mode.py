@@ -245,7 +245,9 @@ def _predict_video_depths(input_images, inp, predictor_cache,
 
     sizes = {im.size for im in input_images}
     inp_ = GenerationOptions.from_dict(inp)
-    if len(sizes) == 1 and not inp_.boost:
+    from depthmap_tpu.registry import resolve_model_type
+    marigold = resolve_model_type(inp_.model_type) == 10
+    if len(sizes) == 1 and not inp_.boost and not marigold:
         cache = predictor_cache or PredictorCache()
         predictor = cache.get(inp_.model_type)
         w, h = input_images[0].size

@@ -50,8 +50,13 @@ def test_edge_net_converter_structure(rng):
         tuple(np.array(p["dec2"]["kernel"].shape)[[3, 2, 0, 1]]))
     fake["decoder_2.1.bias"] = torch.zeros(p["dec2"]["kernel"].shape[-1])
     for i in range(2):
-        add(f"middle.{i}.conv_block.1", p[f"res{i}"]["conv1"]["kernel"])
-        add(f"middle.{i}.conv_block.5", p[f"res{i}"]["conv2"]["kernel"])
+        # real checkpoints carry NO bias on the res-block spectral convs
+        # (networks.py:479 bias=not use_spectral_norm; verified against the
+        # vendored module in test_torch_parity.py)
+        add(f"middle.{i}.conv_block.1", p[f"res{i}"]["conv1"]["kernel"],
+            bias=False)
+        add(f"middle.{i}.conv_block.5", p[f"res{i}"]["conv2"]["kernel"],
+            bias=False)
 
     got = CI.convert_edge_net(SDict(fake), residual_blocks=2)
     import jax
