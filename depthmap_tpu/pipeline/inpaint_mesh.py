@@ -151,14 +151,38 @@ def _grid_faces(index_map: np.ndarray) -> np.ndarray:
 
 
 def tear_sets(disp: np.ndarray, depth_threshold: float):
-    """Torn 4-neighbor edges (reference tear_edges, inpaint/mesh.py:71-88:
-    an edge is removed when |disp(a) - disp(b)| > threshold).  Returns
-    (dh, dv): dh[(y, x)] tears the edge (y,x)-(y,x+1), dv the vertical one.
-    The reference's extra dangling-edge pass (:91-108) removes isolated
-    single connections *between* two parallel tears; fidelity vs that pass
-    is quantified in tests/test_ldi_fidelity.py."""
+    """Torn 4-neighbor edges (reference tear_edges, inpaint/mesh.py:71-108).
+
+    Base criterion (:76): an edge is removed when |disp(a) - disp(b)| >
+    threshold.  Dangling pass (:91-108): an intact edge squeezed between two
+    parallel torn edges is removed too — a horizontal edge at (row, col)
+    whose same-column horizontal edges in the rows directly above and below
+    are both torn (and symmetrically for vertical edges across columns).
+    The reference computes the pass once from the base tear maps and limits
+    it to rows/cols at least 1 away from the border; np.roll wraparound is
+    excluded by the same bound.
+
+    Returns (dh, dv): dh[(y, x)] tears the edge (y,x)-(y,x+1), dv[(y, x)]
+    tears (y,x)-(y+1,x).
+    """
+    H, W = disp.shape
     dh = np.abs(disp[:, 1:] - disp[:, :-1]) > depth_threshold   # (H, W-1)
     dv = np.abs(disp[1:, :] - disp[:-1, :]) > depth_threshold   # (H-1, W)
+
+    # dangling pass on (H, W) canvases marked at the min-coordinate pixel
+    # (mesh.py:84-87), one shot from the base maps (mesh.py:91-92)
+    ch = np.zeros((H, W), bool)
+    ch[:, : W - 1] = dh
+    cv = np.zeros((H, W), bool)
+    cv[: H - 1, :] = dv
+    dang_h = np.roll(ch, 1, 0) & np.roll(ch, -1, 0) & ~ch
+    dang_h[0, :] = False
+    dang_h[-1, :] = False       # horizon_condition: 1 <= row < H-1
+    dang_v = np.roll(cv, 1, 1) & np.roll(cv, -1, 1) & ~cv
+    dang_v[:, 0] = False
+    dang_v[:, -1] = False       # vertical_condition: 1 <= col < W-1
+    dh = dh | dang_h[:, : W - 1]
+    dv = dv | dang_v[: H - 1, :]
     return dh, dv
 
 

@@ -34,37 +34,69 @@ def make_staircase_scene(H=64, W=96):
 
 
 def oracle_tear_edges(disp: np.ndarray, threshold: float):
-    """Reference tear_edges (inpaint/mesh.py:71-108): remove 4-neighbor
-    edges with |disp difference| > threshold, then the dangling pass removes
-    edges squeezed between two parallel torn rows/columns."""
-    H, W = disp.shape
-    remove_h = np.zeros((H, W))
-    remove_v = np.zeros((H, W))
-    dh = np.abs(disp[:, 1:] - disp[:, :-1]) > threshold
-    dv = np.abs(disp[1:, :] - disp[:-1, :]) > threshold
-    # mark torn edges at min-coordinate convention (mesh.py:84-87).
-    # (y, x)-(y, x+1) horizontal neighbors differ in COLUMN; the reference
-    # marks remove_vertical for them ("vertical tear line") and vice versa
-    remove_v[:, :-1][dh] = 1
-    remove_h[:-1, :][dv] = 1
+    """Reference tear_edges (inpaint/mesh.py:71-108), per-edge transcription.
 
-    # dangling pass (mesh.py:91-108): an intact edge whose two parallel
-    # neighbors are both torn gets removed too
-    dang_h = (np.roll(remove_h, 1, 0) + np.roll(remove_h, -1, 0)
-              - remove_h) == 2
-    dang_v = (np.roll(remove_v, 1, 1) + np.roll(remove_v, -1, 1)
-              - remove_v) == 2
-    oh = dv.copy()   # vertical-neighbor tears, (H-1, W)
-    ov = dh.copy()   # horizontal-neighbor tears, (H, W-1)
-    ys, xs = np.nonzero(dang_h)
-    for y, x in zip(ys, xs):
-        if 1 <= y < H - 1:
-            ov[y, x] = True if x < W - 1 else ov[y, x]
-    ys, xs = np.nonzero(dang_v)
-    for y, x in zip(ys, xs):
-        if 1 <= x < W - 1:
-            oh[y, x] = True if y < H - 1 else oh[y, x]
-    return ov, oh   # horizontal-neighbor tears, vertical-neighbor tears
+    Base pass (:76): remove 4-neighbor edges with |disp diff| > threshold,
+    marking remove_horizon[row, min_col] for same-ROW (horizontal) pairs and
+    remove_vertical[min_row, col] for same-COLUMN pairs (:84-87).  Dangling
+    pass (:91-108): dang_horizon rolls remove_horizon along axis 0 (rows) —
+    an intact horizontal edge whose row-above and row-below same-column
+    horizontal edges are both torn is removed, bounded to rows
+    [bord_up+1, bord_down-1); symmetrically dang_vertical rolls
+    remove_vertical along axis 1 (columns), bounded to cols
+    [bord_left+1, bord_right-1).
+    """
+    H, W = disp.shape
+    dh = np.abs(disp[:, 1:] - disp[:, :-1]) > threshold   # (H, W-1)
+    dv = np.abs(disp[1:, :] - disp[:-1, :]) > threshold   # (H-1, W)
+    remove_horizon = np.zeros((H, W))
+    remove_vertical = np.zeros((H, W))
+    remove_horizon[:, :-1][dh] = 1
+    remove_vertical[:-1, :][dv] = 1
+
+    dang_horizon = np.argwhere(
+        (np.roll(remove_horizon, 1, 0) + np.roll(remove_horizon, -1, 0)
+         - remove_horizon) == 2)
+    dang_vertical = np.argwhere(
+        (np.roll(remove_vertical, 1, 1) + np.roll(remove_vertical, -1, 1)
+         - remove_vertical) == 2)
+    oh = dh.copy()
+    ov = dv.copy()
+    for x, y in dang_horizon:                      # x = row, y = col
+        if 1 <= x < H - 1 and y < W - 1:           # horizon_condition :95
+            oh[x, y] = True
+    for x, y in dang_vertical:
+        if 1 <= y < W - 1 and x < H - 1:           # vertical_condition :96
+            ov[x, y] = True
+    return oh, ov   # horizontal-neighbor tears, vertical-neighbor tears
+
+
+def make_dangling_scene(H=48, W=64):
+    """A vertical occlusion curtain (horizontal-edge tears stacked across
+    rows) with single-row gaps punched into it: the base tear criterion
+    leaves those rows connected, the reference's dangling pass closes them."""
+    depth = np.full((H, W), 10.0)
+    depth[:, 32:] = 3.0                     # step at col 31|32 in every row
+    for y in (10, 25, 37):                  # gap rows: smooth the step
+        depth[y, 32:] = 10.0
+    img = np.zeros((H, W, 3), np.uint8)
+    return img, depth
+
+
+def test_dangling_pass_fidelity():
+    """tear_sets must reproduce the reference's dangling-edge removals
+    exactly on a scene where they actually fire."""
+    from depthmap_tpu.pipeline.inpaint_mesh import tear_sets
+    img, depth = make_dangling_scene()
+    disp = 1.0 / depth
+    thr = 0.04
+    dh, dv = tear_sets(disp, thr)
+    o_dh, o_dv = oracle_tear_edges(disp, thr)
+    # the gap rows must have been closed by the dangling pass
+    base_dh = np.abs(disp[:, 1:] - disp[:, :-1]) > thr
+    assert (dh & ~base_dh).sum() > 0, "dangling pass never fired"
+    np.testing.assert_array_equal(dh, o_dh)
+    np.testing.assert_array_equal(dv, o_dv)
 
 
 def _iou(a, b):
