@@ -186,6 +186,180 @@ def tear_sets(disp: np.ndarray, depth_threshold: float):
     return dh, dv
 
 
+def grid_components(dh: np.ndarray, dv: np.ndarray):
+    """Connected components of the (H, W) pixel grid under untorn 4-edges
+    (the reference's netx.connected_components over the pixel graph,
+    inpaint/mesh.py:169).  Returns ((H, W) int labels, n_components)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    H = dv.shape[0] + 1
+    W = dh.shape[1] + 1
+    idx = np.arange(H * W).reshape(H, W)
+    a = idx[:, :-1][~dh]
+    b = idx[:, 1:][~dh]
+    c = idx[:-1, :][~dv]
+    d = idx[1:, :][~dv]
+    rows = np.concatenate([a, c])
+    cols = np.concatenate([b, d])
+    g = sp.coo_matrix((np.ones(len(rows), bool), (rows, cols)),
+                      shape=(H * W, H * W))
+    n, labels = connected_components(g, directed=False)
+    return labels.reshape(H, W), n
+
+
+def reassign_floating_islands(depth: np.ndarray, depth_threshold: float,
+                              min_node_in_cc: int = 200):
+    """Reference floating-island handling, dense formulation.
+
+    generate_init_node (inpaint/mesh.py:164-194, min_node_in_cc=200 at
+    :1848) drops pixel components smaller than min_node_in_cc from the mesh;
+    reassign_floating_island (:244-326) then, per lost island, picks the
+    surrounding edge group with the most adjacent nodes (:292) and
+    re-propagates depth into the island by iterated 4-neighbor means
+    (:297-326), gluing it onto that surface.  Here the two stages fuse into
+    one depth rewrite: small components get their depth replaced by
+    propagation from the dominant neighboring component.  Deviation: the
+    reference's in-place scan uses partially-updated values within one
+    sweep (order-dependent); this uses synchronous frontier updates.
+
+    Returns (new_depth, changed).
+    """
+    H, W = depth.shape
+    disp = 1.0 / np.maximum(depth, 1e-8)
+    dh, dv = tear_sets(disp, depth_threshold)
+    labels, n = grid_components(dh, dv)
+    sizes = np.bincount(labels.ravel(), minlength=n)
+    lost = sizes[labels] < min_node_in_cc
+    if not lost.any():
+        return depth, False
+
+    out = depth.copy()
+    known = ~lost
+    for li in np.unique(labels[lost]):
+        m = labels == li
+        nb = np.zeros((H, W), bool)       # known 4-neighbors of the island
+        nb[:-1, :] |= m[1:, :]
+        nb[1:, :] |= m[:-1, :]
+        nb[:, :-1] |= m[:, 1:]
+        nb[:, 1:] |= m[:, :-1]
+        nb &= known
+        if not nb.any():
+            continue
+        # dominant surrounding group = the one with most adjacent pixels
+        dom = np.bincount(labels[nb]).argmax()
+        seeds = nb & (labels == dom)
+
+        edm = np.where(seeds, out, 0.0)
+        has = seeds.copy()
+        remaining = m.copy()
+        while remaining.any():
+            ssum = np.zeros((H, W), np.float64)
+            scnt = np.zeros((H, W), np.int32)
+            for src, dst in (((slice(1, None), slice(None)),
+                              (slice(None, -1), slice(None))),
+                             ((slice(None, -1), slice(None)),
+                              (slice(1, None), slice(None))),
+                             ((slice(None), slice(1, None)),
+                              (slice(None), slice(None, -1))),
+                             ((slice(None), slice(None, -1)),
+                              (slice(None), slice(1, None)))):
+                ssum[dst] += np.where(has[src], edm[src], 0.0)
+                scnt[dst] += has[src]
+            newly = remaining & (scnt > 0)
+            if not newly.any():
+                break                      # island part with no seed path
+            val = ssum / np.maximum(scnt, 1)
+            edm[newly] = val[newly]
+            has[newly] = True
+            out[newly] = val[newly]
+            remaining &= ~newly
+    return out, True
+
+
+def _propagate_mean(vals: np.ndarray, known: np.ndarray, region: np.ndarray):
+    """Fill `region` by iterated synchronous 4-neighbor means seeded from
+    `known` (the reference's depth-propagation loop shape, mesh.py:297-326).
+    Returns (vals, filled): filled marks seeds + reached region pixels."""
+    vals = vals.astype(np.float64).copy()
+    known = known.copy()
+    remaining = region & ~known
+    while remaining.any():
+        ssum = np.zeros(vals.shape, np.float64)
+        scnt = np.zeros(vals.shape, np.int32)
+        for src, dst in (((slice(1, None), slice(None)),
+                          (slice(None, -1), slice(None))),
+                         ((slice(None, -1), slice(None)),
+                          (slice(1, None), slice(None))),
+                         ((slice(None), slice(1, None)),
+                          (slice(None), slice(None, -1))),
+                         ((slice(None), slice(None, -1)),
+                          (slice(None), slice(1, None)))):
+            ssum[dst] += np.where(known[src], vals[src], 0.0)
+            scnt[dst] += known[src]
+        newly = remaining & (scnt > 0)
+        if not newly.any():
+            break
+        vals = np.where(newly, ssum / np.maximum(scnt, 1), vals)
+        known |= newly
+        remaining &= ~newly
+    return vals, known
+
+
+def edge_pixel_groups(dh: np.ndarray, dv: np.ndarray, min_size: int = 12):
+    """Occlusion-edge groups: torn-edge pixels labeled by connectivity
+    within the edge-pixel subgraph under untorn 4-edges (reference
+    group_edges, inpaint/mesh.py:385 — edge nodes connect along the tear
+    curve, never across it).  Groups smaller than `min_size` are dropped
+    (reference remove_redundant_edge :636 culls degenerate edge groups;
+    redundant_number=12 per src/core.py:417).
+
+    Returns ((H, W) int labels with -1 = not an edge pixel, n_groups).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    H = dv.shape[0] + 1
+    W = dh.shape[1] + 1
+    edge_px = np.zeros((H, W), bool)
+    edge_px[:, 1:] |= dh
+    edge_px[:, :-1] |= dh
+    edge_px[1:, :] |= dv
+    edge_px[:-1, :] |= dv
+    n = int(edge_px.sum())
+    if n == 0:
+        return np.full((H, W), -1, np.int64), 0
+
+    pid = np.full((H, W), -1, np.int64)
+    pid[edge_px] = np.arange(n)
+    ph = (~dh) & edge_px[:, :-1] & edge_px[:, 1:]
+    pv = (~dv) & edge_px[:-1, :] & edge_px[1:, :]
+    rows = np.concatenate([pid[:, :-1][ph], pid[:-1, :][pv]])
+    cols = np.concatenate([pid[:, 1:][ph], pid[1:, :][pv]])
+    g = sp.coo_matrix((np.ones(len(rows), bool), (rows, cols)), shape=(n, n))
+    ng, lab = connected_components(g, directed=False)
+    sizes = np.bincount(lab, minlength=ng)
+    keep = sizes >= min_size
+    remap = np.full(ng, -1, np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    out = np.full((H, W), -1, np.int64)
+    out[edge_px] = remap[lab]
+    return out, int(keep.sum())
+
+
+def _far_side_mask(disp: np.ndarray, dh: np.ndarray, dv: np.ndarray):
+    """Pixels that are the FAR side of some torn edge (their torn neighbor
+    is nearer, i.e. has larger disparity) — the reference's nodes that carry
+    a 'near' list (tear_edges, mesh.py:79-82)."""
+    H, W = disp.shape
+    far = np.zeros((H, W), bool)
+    far[:, :-1] |= dh & (disp[:, :-1] < disp[:, 1:])
+    far[:, 1:] |= dh & (disp[:, 1:] < disp[:, :-1])
+    far[:-1, :] |= dv & (disp[:-1, :] < disp[1:, :])
+    far[1:, :] |= dv & (disp[1:, :] < disp[:-1, :])
+    return far
+
+
 def build_ldi(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
               config: Dict, nets: Optional[Dict] = None):
     """(verts, colors, faces, mean_loc_depth).
@@ -201,14 +375,15 @@ def build_ldi(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
     thickness = config.get("background_thickness", 70)
     hfov, vfov = fov_from_int_mtx(int_mtx, H, W)
 
+    # floating islands first (reference write_mesh order, mesh.py:1848-1852):
+    # small torn-off components are glued back onto the dominant surrounding
+    # surface before edges are grouped/inpainted
+    depth, _ = reassign_floating_islands(
+        depth, depth_threshold,
+        min_node_in_cc=config.get("min_node_in_cc", 200))
+
     disp = 1.0 / np.maximum(depth, 1e-8)
     dh, dv = tear_sets(disp, depth_threshold)
-
-    edge_px = np.zeros((H, W), bool)
-    edge_px[:, 1:] |= dh
-    edge_px[:, :-1] |= dh
-    edge_px[1:, :] |= dv
-    edge_px[:-1, :] |= dv
 
     # --- foreground layer -------------------------------------------------
     rows, cols = np.mgrid[0:H, 0:W]
@@ -237,20 +412,54 @@ def build_ldi(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
     colors = fg_colors
     faces = fg_faces
 
-    # --- background layer -------------------------------------------------
-    if edge_px.any():
-        k = np.ones((3, 3), np.uint8)
-        band = cv2.dilate(edge_px.astype(np.uint8), k,
-                          iterations=max(thickness // 7, 2)).astype(bool)
-        # far-side depth: local max depth (background) diffused into the band
-        bg_depth, bg_color = _inpaint_background(img, depth, band, edge_px,
-                                                 disp, config, nets)
-        bg_rows, bg_cols = np.nonzero(band)
-        bg_index = np.full((H, W), -1, np.int64)
-        bg_index[band] = np.arange(len(bg_rows)) + verts.shape[0]
-        bg_verts = pixels_to_verts(bg_rows, bg_cols, bg_depth[band],
+    # --- background layers: one per occlusion edge group --------------------
+    # Reference structure (DL_inpaint_edge per edge_cc, inpaint/mesh.py:1395;
+    # context_and_holes :910): each occlusion edge group hallucinates its OWN
+    # background continuation.  Where bands of different groups overlap the
+    # mesh carries multiple background samples at the same pixel — this is
+    # what makes the LDI multi-layer (the former single global band could
+    # store only one background value per pixel).
+    glabels, ngroups = edge_pixel_groups(
+        dh, dv, min_size=config.get("redundant_number", 12))
+    far_side = _far_side_mask(disp, dh, dv)
+    labels_cc, _ = grid_components(dh, dv)
+    it = max(thickness // 7, 2)
+    k3 = np.ones((3, 3), np.uint8)
+    margin = it + 2
+
+    for g in range(ngroups):
+        gmask_full = glabels == g
+        seeds_full = gmask_full & far_side
+        if not seeds_full.any():
+            continue                    # near-side-only group: its tear is
+                                        # handled by the far-side twin group
+        ys, xs = np.nonzero(gmask_full)
+        r0, r1 = max(int(ys.min()) - margin, 0), min(int(ys.max()) + margin + 1, H)
+        c0, c1 = max(int(xs.min()) - margin, 0), min(int(xs.max()) + margin + 1, W)
+        sl = (slice(r0, r1), slice(c0, c1))
+
+        seeds = seeds_full[sl]
+        band = cv2.dilate(seeds.astype(np.uint8), k3,
+                          iterations=it).astype(bool)
+        # context = band pixels on the group's own (background) surface —
+        # there the layer coincides with the foreground mesh and stitches to
+        # it; synthesis = band pixels occluded by a nearer surface
+        seed_comps = np.unique(labels_cc[sl][seeds])
+        context = band & np.isin(labels_cc[sl], seed_comps)
+        synth = band & ~context
+        if not synth.any():
+            continue
+
+        bg_depth, bg_color = _inpaint_group(
+            img[sl], depth[sl], disp[sl], gmask_full[sl], context, synth,
+            nets)
+
+        band_index = np.full((r1 - r0, c1 - c0), -1, np.int64)
+        brows, bcols = np.nonzero(band)
+        band_index[band] = np.arange(len(brows)) + verts.shape[0]
+        bg_verts = pixels_to_verts(brows + r0, bcols + c0, bg_depth[band],
                                    H, W, hfov, vfov)
-        bg_faces = _grid_faces(bg_index)
+        bg_faces = _grid_faces(band_index)
         verts = np.concatenate([verts, bg_verts], axis=0)
         colors = np.concatenate([colors, bg_color[band]], axis=0)
         if len(bg_faces):
@@ -260,38 +469,41 @@ def build_ldi(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
     return verts, colors, faces, mean_loc_depth
 
 
-def _inpaint_background(img, depth, band, edge_px, disp, config, nets):
-    """Background color/depth for the occluded band.  With nets: edge ->
-    depth -> color inpainting (reference DL_inpaint_edge flow); without:
-    depth = dilated far-side depth, color = cv2 telea inpaint."""
-    H, W = depth.shape
-    far = cv2.dilate(depth.astype(np.float32), np.ones((5, 5), np.float32))
-    k = np.ones((3, 3), np.uint8)
-    bandu8 = band.astype(np.uint8)
+def _inpaint_group(img_c, depth_c, disp_c, edge_c, context, synth, nets):
+    """Background depth/color for one edge group's band (crop arrays).
 
+    With nets: edge -> depth -> color inpainting on the crop (reference
+    DL_inpaint_edge runs the 3 nets per edge group, inpaint/mesh.py:1395).
+    Without: depth = 4-neighbor mean propagation of the context (far-side)
+    surface into the occluded region, color = cv2 telea inpaint.
+    """
+    depth_c = depth_c.astype(np.float32)
     if nets is not None:
         try:
-            context = (~band).astype(np.float32)
-            mask = band.astype(np.float32)
-            edge_in = edge_px.astype(np.float32)
-            rgb01 = img.astype(np.float32) / 255.0
-            edge_out = nets["edge"](rgb01, disp.astype(np.float32), edge_in,
-                                    context, mask)
-            depth_out = nets["depth"](depth.astype(np.float32), edge_out,
-                                      context, mask)
-            color_out = nets["color"](rgb01, edge_out, context, mask)
-            bg_depth = np.where(band, np.maximum(depth_out, depth), depth)
-            bg_color = np.where(band[..., None], color_out * 255.0,
-                                img.astype(np.float32))
-            return bg_depth.astype(np.float32), \
-                bg_color.astype(np.uint8)
+            rgb01 = img_c.astype(np.float32) / 255.0
+            ctxf = context.astype(np.float32)
+            maskf = synth.astype(np.float32)
+            edge_out = nets["edge"](rgb01, disp_c.astype(np.float32),
+                                    edge_c.astype(np.float32), ctxf, maskf)
+            depth_out = nets["depth"](depth_c, edge_out, ctxf, maskf)
+            color_out = nets["color"](rgb01, edge_out, ctxf, maskf)
+            bg_depth = np.where(synth, np.maximum(depth_out, depth_c),
+                                depth_c)
+            bg_color = np.where(synth[..., None], color_out * 255.0,
+                                img_c.astype(np.float32))
+            return bg_depth.astype(np.float32), bg_color.astype(np.uint8)
         except Exception:
             pass
 
-    bg_depth = np.where(band, far, depth).astype(np.float32)
-    bg_color = cv2.inpaint(img.astype(np.uint8), bandu8, 5,
-                           cv2.INPAINT_TELEA)
-    return bg_depth, bg_color
+    vals, filled = _propagate_mean(np.where(context, depth_c, 0.0),
+                                   context.copy(), synth)
+    bg_depth = np.where(synth & filled,
+                        np.maximum(vals, depth_c), depth_c)
+    bg_color = cv2.inpaint(np.ascontiguousarray(img_c.astype(np.uint8)),
+                           synth.astype(np.uint8), 5, cv2.INPAINT_TELEA)
+    bg_color = np.where(synth[..., None], bg_color,
+                        img_c).astype(np.uint8)
+    return bg_depth.astype(np.float32), bg_color
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,88 @@ def test_dangling_pass_fidelity():
     np.testing.assert_array_equal(dv, o_dv)
 
 
+def test_floating_island_reassignment():
+    """Small torn-off components (< min_node_in_cc px) must be glued back
+    onto the dominant surrounding surface (reference generate_init_node
+    min_node_in_cc=200 at mesh.py:1848 + reassign_floating_island :244)."""
+    from depthmap_tpu.pipeline.inpaint_mesh import (reassign_floating_islands,
+                                                    tear_sets,
+                                                    grid_components)
+    H, W = 64, 96
+    depth = np.full((H, W), 10.0)
+    depth[20:50, 10:60] = 5.0        # big mid-layer: 1500 px, kept
+    depth[30:36, 70:78] = 1.0        # floating speck: 48 px, reassigned
+    new_depth, changed = reassign_floating_islands(depth, 0.04)
+    assert changed
+    # the speck is now on the background surface
+    np.testing.assert_allclose(new_depth[30:36, 70:78], 10.0, rtol=1e-6)
+    # the big component is untouched
+    np.testing.assert_array_equal(new_depth[20:50, 10:60], depth[20:50, 10:60])
+    # its tears are gone: the speck region joins the background component
+    dh, dv = tear_sets(1.0 / new_depth, 0.04)
+    labels, n = grid_components(dh, dv)
+    assert labels[32, 73] == labels[0, 0]
+    # islands bordering two surfaces glue to the DOMINANT one
+    depth2 = np.full((H, W), 10.0)
+    depth2[20:50, 10:60] = 5.0
+    depth2[19:22, 30:34] = 1.0       # speck straddling the mid-layer border:
+    # 2 of 3 rows neighbor the 10.0 background, 1 row neighbors the 5.0 layer
+    new2, _ = reassign_floating_islands(depth2, 0.04)
+    assert abs(new2[20, 31] - 10.0) < 1e-6 or abs(new2[20, 31] - 5.0) < 1e-6
+    side = 10.0 if (new2[19:22, 30:34] > 7).mean() > 0.5 else 5.0
+    np.testing.assert_allclose(new2[19:22, 30:34], side, rtol=1e-6)
+
+
+def test_island_with_no_seed_survives():
+    """An island whose every neighbor is also lost (pathological) must not
+    crash or corrupt the depth map."""
+    from depthmap_tpu.pipeline.inpaint_mesh import reassign_floating_islands
+    depth = np.full((16, 16), 4.0)
+    new_depth, changed = reassign_floating_islands(depth, 0.04,
+                                                   min_node_in_cc=10_000)
+    # single component smaller than threshold, no known seeds -> unchanged
+    np.testing.assert_array_equal(new_depth, depth)
+
+
+def test_multilayer_overlapping_bands():
+    """Where two occlusion edges are close, their background bands overlap
+    and the mesh must carry MULTIPLE background samples at the same pixel —
+    the defining property of a layered depth image (the reference stores one
+    node per (pixel, depth), inpaint/mesh.py node keys (x, y, d))."""
+    from depthmap_tpu.pipeline.inpaint_mesh import build_ldi
+    H, W = 80, 100
+    depth = np.full((H, W), 10.0)
+    depth[:, 30:70] = 5.0              # mid slab, right edge at col 69|70
+    depth[30:55, 62:78] = 2.0          # near rect straddling that edge
+    rng = np.random.default_rng(0)
+    img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    int_mtx = np.array([[max(H, W), 0, W / 2.],
+                        [0, max(H, W), H / 2.],
+                        [0, 0, 1]])
+    cfg = {"depth_threshold": 0.04, "background_thickness": 70}
+    verts, colors, faces, mld = build_ldi(img, depth, int_mtx, cfg)
+
+    # back-project background vertices to pixel coordinates
+    bg = np.asarray(verts[H * W:])
+    assert len(bg) > 0
+    hfov = 2 * np.arctan(0.5 * W / (int_mtx[0, 0] * W))
+    vfov = 2 * np.arctan(0.5 * H / (int_mtx[1, 1] * H))
+    tx, ty = np.tan(hfov / 2), np.tan(vfov / 2)
+    d = np.abs(bg[:, 2])
+    col = np.rint(((bg[:, 0] / (tx * d)) + 1) * (W - 1) / 2 - 0.5).astype(int)
+    row = np.rint((1 - bg[:, 1] / (ty * d)) * (H - 1) / 2 - 0.5).astype(int)
+
+    # inside the near rect, between its left and right edges' bands: the
+    # pixel is occluded by the near rect (fg=2); the left edge group
+    # hallucinates the mid surface (~5) and the right edge group the far
+    # plane (~10) — two distinct background layers at one pixel
+    probe = (row == 40) & (col == 70)
+    probe_depths = np.sort(d[probe])
+    assert len(probe_depths) >= 2, (
+        f"expected >=2 background samples at (40, 70), got {probe_depths}")
+    assert probe_depths[-1] - probe_depths[0] > 2.0, probe_depths
+
+
 def _iou(a, b):
     a = a.astype(bool)
     b = b.astype(bool)
