@@ -131,6 +131,36 @@ def bench_video_e2e_fps():
     }
 
 
+def bench_model_fps(model_id: int, size: int, batch: int = 8,
+                    iters: int = 6):
+    """Depth fps for one model family at its default net size (production
+    dispatch path, same protocol as the headline)."""
+    import jax.numpy as jnp
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+    pred = DepthPredictor(model_id)
+    rng = np.random.default_rng(0)
+    base = rng.random((batch, size, size, 3)).astype(np.float32)
+    xs = [jnp.asarray(base + np.float32(i) * np.float32(1e-3))
+          for i in range(iters)]
+
+    def dispatch(x):
+        return pred._apply(x, size, size, None)
+
+    _ = np.asarray(dispatch(xs[0])[0, :1, :1])
+    best_dt = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        outs = [dispatch(xi) for xi in xs]
+        _ = np.asarray(outs[-1][0, :1, :1])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    fps = batch * iters / best_dt
+    return {
+        "metric": f"depth_fps_{size}px_{pred.spec.name}_b{batch}",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+    }
+
+
 def main():
     headline = bench_depth_fps()
     extra = []
@@ -139,6 +169,18 @@ def main():
             extra.append(bench_video_e2e_fps())
         except Exception as e:      # the headline line must still print
             extra.append({"metric": "video_depth_stereo_fps", "error": str(e)})
+    if os.environ.get("BENCH_EXTRA_MODELS", "0") == "1":
+        # per-family throughput (opt-in: adds several compiles)
+        small = os.environ.get("BENCH_SMALL", "0") == "1"
+        families = (((6, 128),) if small else
+                    ((13, 518),   # depth_anything_v2 base (UI default)
+                     (7, 512),    # zoedepth_n
+                     (0, 448)))   # leres res101
+        for mid, size in families:
+            try:
+                extra.append(bench_model_fps(mid, size))
+            except Exception as e:
+                extra.append({"metric": f"model_{mid}", "error": str(e)})
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_EXTRA.json"), "w") as f:
