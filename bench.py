@@ -161,6 +161,36 @@ def bench_model_fps(model_id: int, size: int, batch: int = 8,
     }
 
 
+def bench_boost_seconds():
+    """Boost (multi-resolution merge) seconds/image — the flow the reference
+    calls 'very slow' (README.md:46).  Patch double-estimates and pix2pix
+    merges are batched on TPU; random weights, throughput-representative."""
+    from depthmap_tpu.pipeline.boost import BoostEngine
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    model_id = 6 if small else 1
+    h, w = (96, 128) if small else (768, 1024)
+    pred = DepthPredictor(model_id)
+    eng = BoostEngine(pred)
+    if small:   # the 1024^2 merge can't shrink (10-down U-Net), but the
+        eng.rf = 64  # receptive field / patch count can
+    rng = np.random.default_rng(0)
+    img = rng.random((h, w, 3)).astype(np.float32)
+    _ = eng.estimate(img)                      # compile + warmup
+    best = float("inf")
+    for i in range(2):
+        img2 = rng.random((h, w, 3)).astype(np.float32)
+        t0 = time.perf_counter()
+        out = eng.estimate(img2)
+        assert out.shape == (h, w)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "metric": f"boost_seconds_per_image_{w}x{h}_{pred.spec.name}",
+        "value": round(best, 2),
+        "unit": "s/image",
+    }
+
+
 def main():
     headline = bench_depth_fps()
     extra = []
@@ -181,6 +211,10 @@ def main():
                 extra.append(bench_model_fps(mid, size))
             except Exception as e:
                 extra.append({"metric": f"model_{mid}", "error": str(e)})
+        try:
+            extra.append(bench_boost_seconds())
+        except Exception as e:
+            extra.append({"metric": "boost_seconds", "error": str(e)})
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_EXTRA.json"), "w") as f:

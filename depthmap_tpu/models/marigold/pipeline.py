@@ -45,10 +45,13 @@ class MarigoldPipeline:
         z = jnp.zeros((1, 8, 8, 4))
         u = jnp.zeros((1, 8, 8, 8))
         ctx = jnp.zeros((1, 77, 1024))
+        # jitted init: one compiled program per net instead of op-by-op
+        # dispatch (minutes through the TPU tunnel)
         return {
-            "encoder": self.encoder.init(k1, x),
-            "decoder": self.decoder.init(k2, z),
-            "unet": self.unet.init(k3, u, jnp.zeros((1,), jnp.int32), ctx),
+            "encoder": jax.jit(self.encoder.init)(k1, x),
+            "decoder": jax.jit(self.decoder.init)(k2, z),
+            "unet": jax.jit(self.unet.init)(
+                k3, u, jnp.zeros((1,), jnp.int32), ctx),
             "empty_text_embed": jnp.zeros((1, 77, 1024), jnp.float32),
         }
 

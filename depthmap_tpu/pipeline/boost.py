@@ -185,7 +185,9 @@ class BoostEngine:
         self.merge_batch = merge_batch
         self.p2p = build_pix2pix()
         if pix2pix_variables is None:
-            pix2pix_variables = self.p2p.init(
+            # jitted init: one compiled program instead of op-by-op dispatch
+            # (minutes through the TPU tunnel for the 10-down U-Net)
+            pix2pix_variables = jax.jit(self.p2p.init)(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, PIX2PIX_SIZE, PIX2PIX_SIZE)),
                 jnp.zeros((1, PIX2PIX_SIZE, PIX2PIX_SIZE)))

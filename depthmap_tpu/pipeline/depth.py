@@ -87,7 +87,10 @@ class DepthPredictor:
     def _random_init(self, seed: int):
         h = w = self.spec.resize_multiple_of * 8
         x = jnp.zeros((1, h, w, 3), jnp.float32)
-        return self.bundle.module.init(jax.random.PRNGKey(seed), x)
+        # jit the init: un-jitted flax init dispatches op-by-op (thousands of
+        # ~ms-latency launches through the TPU tunnel -> minutes of startup);
+        # one compiled program brings it to seconds
+        return jax.jit(self.bundle.module.init)(jax.random.PRNGKey(seed), x)
 
     def _try_load_marigold(self, weights_dir: str):
         """Swap converted SD2/Marigold weights into the pipeline when the
