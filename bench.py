@@ -175,13 +175,13 @@ def bench_boost_seconds():
     if small:   # the 1024^2 merge can't shrink (10-down U-Net), but the
         eng.rf = 64  # receptive field / patch count can
     rng = np.random.default_rng(0)
-    img = rng.random((h, w, 3)).astype(np.float32)
-    _ = eng.estimate(img)                      # compile + warmup
+    imgs = [rng.random((h, w, 3)).astype(np.float32) for _ in range(2)]
+    for im in imgs:                 # warmup covers every R_x bucket the
+        _ = eng.estimate(im)        # timed images will hit (steady state)
     best = float("inf")
-    for i in range(2):
-        img2 = rng.random((h, w, 3)).astype(np.float32)
+    for im in imgs:
         t0 = time.perf_counter()
-        out = eng.estimate(img2)
+        out = eng.estimate(im)
         assert out.shape == (h, w)
         best = min(best, time.perf_counter() - t0)
     return {

@@ -57,6 +57,108 @@ def _block_reduce_max(img: np.ndarray, n: int) -> np.ndarray:
     return img.reshape(img.shape[0] // n, n, img.shape[1] // n, n).max((1, 3))
 
 
+# ---- device-resident patch kernels -----------------------------------
+# The Boost hot path keeps every intermediate on device: crops, net
+# forwards, pix2pix merges, polyfit mapping and the sequential mask blend
+# are device programs with *dynamic* rects (one compiled shape per stream),
+# and the only host transfer is the final (H, W) depth map.  This matters
+# because device->host bandwidth is the scarcest resource (the reference
+# moves every patch estimate through host numpy; at 1024^2 f32 per patch
+# that is ~12 MB/patch of round-trips).
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "method"))
+def _crop_resize_batch(src, rects, out_h: int, out_w: int,
+                       method: str = "cubic"):
+    """Crop each rect [x, y, w, h] from `src` (H, W[, C]) and resize to
+    (out_h, out_w): one compiled program for ANY rect set (rects are traced
+    values).  Geometry matches cv2 crop+resize exactly in the interior;
+    at the 1-2 border pixels the kernel samples real image neighbours where
+    cv2 would clamp at the crop edge (verified <=3e-6 interior deviation)."""
+    src_f = jnp.asarray(src, jnp.float32)
+    out_shape = (out_h, out_w) + src_f.shape[2:]
+
+    def one(rect):
+        x, y, w, h = [rect[i].astype(jnp.float32) for i in range(4)]
+        sy = out_h / jnp.maximum(h, 1.0)
+        sx = out_w / jnp.maximum(w, 1.0)
+        scale = jnp.stack([sy, sx])
+        trans = jnp.stack([-y * sy, -x * sx])
+        return jax.image.scale_and_translate(
+            src_f, out_shape, (0, 1), scale, trans, method, antialias=False)
+
+    return jax.vmap(one)(jnp.asarray(rects))
+
+
+@jax.jit
+def _minmax_norm_batch(x):
+    """Per-sample min-max normalize (doubleestimate semantics :1040-1049)."""
+    lo = x.min(axis=(1, 2), keepdims=True)
+    hi = x.max(axis=(1, 2), keepdims=True)
+    return jnp.where(hi > lo, (x - lo) / jnp.where(hi > lo, hi - lo, 1.0),
+                     0.0)
+
+
+@jax.jit
+def _fit_to_base(mapped, base):
+    """Closed-form deg-1 polyfit of mapped -> base applied to mapped
+    (reference :915-916), batched over patches."""
+    mm = mapped.mean(axis=(1, 2), keepdims=True)
+    bm = base.mean(axis=(1, 2), keepdims=True)
+    cov = (mapped * base).mean(axis=(1, 2), keepdims=True) - mm * bm
+    var = (mapped * mapped).mean(axis=(1, 2), keepdims=True) - mm * mm
+    slope = jnp.where(var > 1e-12, cov / jnp.maximum(var, 1e-12), 0.0)
+    return slope * mapped + (bm - slope * mm)
+
+
+@jax.jit
+def _upsample_p_jit(x):
+    """(c, h, w) -> (c, P, P) bicubic (doubleestimate's resize-to-1024)."""
+    from depthmap_tpu.ops.resize import interpolate
+    return interpolate(x[..., None], (PIX2PIX_SIZE, PIX2PIX_SIZE),
+                       "bicubic", False)[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _to_frame_jit(x, h: int, w: int):
+    """(P, P) whole estimate -> (h, w) merge frame."""
+    from depthmap_tpu.ops.resize import interpolate
+    return interpolate(x[None, ..., None], (h, w), "bicubic", False)[0, ..., 0]
+
+
+@jax.jit
+def _blend_patches(updated, merged, rects, mask_src):
+    """Sequential big->small Gaussian-mask blend (reference :907-941) as one
+    device program.  merged: (N, P, P) polyfit-mapped patch estimates;
+    rects: (N, 4) [x, y, w, h] (zero-size rows are no-ops); mask_src: the
+    reference blend mask (generatemask :944-953).  Each step pastes the
+    patch at its rect in the full frame and alpha-blends with the mask."""
+    h_frame, w_frame = updated.shape
+    p = merged.shape[1]
+    mh, mw = mask_src.shape
+    rowi = jnp.arange(h_frame, dtype=jnp.float32)[:, None]
+    coli = jnp.arange(w_frame, dtype=jnp.float32)[None, :]
+
+    def body(i, upd):
+        rect = rects[i].astype(jnp.float32)
+        x, y, w, h = rect[0], rect[1], rect[2], rect[3]
+        m = merged[i]
+        sy = h / p
+        sx = w / p
+        merged_f = jax.image.scale_and_translate(
+            m, (h_frame, w_frame), (0, 1), jnp.stack([sy, sx]),
+            jnp.stack([y, x]), "cubic", antialias=False)
+        mask_f = jax.image.scale_and_translate(
+            mask_src, (h_frame, w_frame), (0, 1),
+            jnp.stack([h / mh, w / mw]), jnp.stack([y, x]), "linear",
+            antialias=False)
+        inside = ((rowi >= y) & (rowi < y + h) &
+                  (coli >= x) & (coli < x + w) & (w > 0) & (h > 0))
+        mask_f = jnp.where(inside, mask_f, 0.0)
+        return upd * (1.0 - mask_f) + merged_f * mask_f
+
+    return jax.lax.fori_loop(0, rects.shape[0], body, updated)
+
+
 def calculate_processing_res(img: np.ndarray, basesize: int,
                              confidence: float = 0.2,
                              scale_threshold: float = 3,
@@ -194,6 +296,23 @@ class BoostEngine:
         self.p2p_vars = pix2pix_variables
         self._merge = jax.jit(self.p2p.apply)
 
+        cfg = predictor.bundle.preprocess
+        mean = jnp.asarray(cfg.mean, jnp.float32)
+        std = jnp.asarray(cfg.std, jnp.float32)
+        swap = cfg.swap_channels
+
+        @jax.jit
+        def _prep_dev(x):
+            """Device-side per-family normalization of raw RGB crops
+            (the resize half of preprocess_image already happened in
+            _crop_resize_batch; square crops make upper_bound == squash)."""
+            if swap:
+                x = x[..., ::-1]
+            return (x - mean) / std
+
+        self._prep_dev = _prep_dev
+        self._mask_dev = None   # lazy device upload of the 3000^2 blend mask
+
     # -- model single estimates -------------------------------------------
     def _single(self, img: np.ndarray, msize: int) -> np.ndarray:
         """singleestimate (reference :1054-1067): per-family transform at a
@@ -202,18 +321,23 @@ class BoostEngine:
         pred = self.predictor.predict(img, msize, msize, resize_mode=mode)
         return pred
 
-    def _single_batch(self, imgs: np.ndarray, msize: int) -> np.ndarray:
-        mode = "upper_bound" if self.model_type in range(1, 7) else None
-        return self.predictor.predict_batch(imgs, msize, msize,
-                                            resize_mode=mode)
-
     def _merge_pairs(self, lows: np.ndarray, highs: np.ndarray) -> np.ndarray:
-        """Batched pix2pix merge at 1024^2, chunked to bound memory."""
+        """Batched pix2pix merge at 1024^2, chunked to bound memory.
+
+        Ragged tails are padded to the full merge batch so exactly one batch
+        shape is ever compiled (a fresh XLA program per tail size would cost
+        tens of seconds each on TPU)."""
+        mb = self.merge_batch
         outs = []
-        for i in range(0, lows.shape[0], self.merge_batch):
-            outs.append(np.asarray(self._merge(
-                self.p2p_vars, jnp.asarray(lows[i:i + self.merge_batch]),
-                jnp.asarray(highs[i:i + self.merge_batch]))))
+        for i in range(0, lows.shape[0], mb):
+            lo, hi = lows[i:i + mb], highs[i:i + mb]
+            n = lo.shape[0]
+            if n < mb:
+                lo = np.concatenate([lo, np.repeat(lo[-1:], mb - n, 0)], 0)
+                hi = np.concatenate([hi, np.repeat(hi[-1:], mb - n, 0)], 0)
+            out = np.asarray(self._merge(self.p2p_vars, jnp.asarray(lo),
+                                         jnp.asarray(hi)))
+            outs.append(out[:n])
         return np.concatenate(outs, axis=0)
 
     def double_estimate(self, img: np.ndarray, size1: int,
@@ -228,103 +352,145 @@ class BoostEngine:
         lo, hi = merged.min(), merged.max()
         return (merged - lo) / (hi - lo) if hi > lo else merged * 0.0
 
+    # -- device-resident chain --------------------------------------------
+    def _upsample_to_p(self, x):
+        """(c, h, w) device estimates -> (c, P, P)."""
+        if x.shape[-2:] == (PIX2PIX_SIZE, PIX2PIX_SIZE):
+            return x
+        return _upsample_p_jit(x)
+
+    def _forward_dev(self, raw, msize: int):
+        """raw: (c, s, s, 3) device RGB crops in [0,1] -> (c, P, P) device
+        estimates (the per-patch half of singleestimate :1054-1067)."""
+        pred = self.predictor
+        if self.model_type == 10:   # Marigold runs its own host pipeline
+            outs = [pred.predict(np.asarray(raw[i]), msize, msize)
+                    for i in range(raw.shape[0])]
+            return self._upsample_to_p(jnp.asarray(np.stack(outs)))
+        if pred.bundle.prep_in_model:
+            x = raw[..., ::-1] if pred.bundle.preprocess.swap_channels \
+                else raw
+            out = pred._apply(x, PIX2PIX_SIZE, PIX2PIX_SIZE, (msize, msize))
+        else:
+            out = pred._apply(self._prep_dev(raw), PIX2PIX_SIZE,
+                              PIX2PIX_SIZE)
+        return self._upsample_to_p(out)
+
+    def _single_dev(self, img: np.ndarray, msize: int):
+        """Whole-image singleestimate -> (1, P, P) device (never leaves the
+        chip; the host path `_single` keeps the image-res numpy API)."""
+        pred = self.predictor
+        if self.model_type == 10:
+            d = pred.predict(img, msize, msize)
+            return self._upsample_to_p(jnp.asarray(d)[None])
+        mode = "upper_bound" if self.model_type in range(1, 7) else None
+        x = pred._prep(img, msize, msize, mode)
+        net_size = (msize, msize) if pred.bundle.prep_in_model else None
+        out = pred._apply(jnp.asarray(x), PIX2PIX_SIZE, PIX2PIX_SIZE,
+                          net_size)
+        return self._upsample_to_p(out)
+
+    def _double_estimate_dev(self, img: np.ndarray, size1: int, size2: int):
+        """doubleestimate (:1028-1049) with every intermediate on device;
+        returns the normalized merged estimate at (P, P)."""
+        e1 = self._single_dev(img, size1)
+        e2 = self._single_dev(img, size2)
+        merged = self._merge(self.p2p_vars, e1, e2)
+        return _minmax_norm_batch(merged)[0]
+
     def estimate(self, img: np.ndarray,
                  whole_size_threshold: int = 1600) -> np.ndarray:
         """img: (H, W, 3) float RGB in [0,1] -> boosted depth at (H, W).
 
-        Matches estimateboost (reference :774-941) with batched patches."""
+        Matches estimateboost (reference :774-941) with the TPU
+        re-architecture: batched patch double-estimates and merges, and a
+        fully device-resident chain — the only device->host transfer is the
+        final (H, W) map (the scarce resource; see module docstring)."""
         rf = self.rf
-        patch_netsize = 2 * rf
-        input_resolution = img.shape
+        h, w = img.shape[:2]
+        img = np.asarray(img, np.float32)
 
         whole_image_optimal_size, patch_scale = calculate_processing_res(
             img, rf, 0.2, 3, whole_size_threshold)
-        whole_estimate = self.double_estimate(img, rf,
-                                              whole_image_optimal_size)
+        # TPU-first departure from the reference: quantize R_x UP to the next
+        # multiple of the receptive field (capped at the search threshold).
+        # The reference's continuous R_x feeds the net size directly, which
+        # on TPU would compile a fresh XLA program per image (tens of
+        # seconds each); a bounded ladder of sizes keeps the jit cache hot
+        # while never *reducing* the chosen processing resolution.
+        whole_image_optimal_size = min(
+            int(-(-whole_image_optimal_size // rf) * rf),
+            int(min(whole_size_threshold, 3 * max(h, w))))
+        # BEiT's relative-position bias materializes (heads, N, N) per block
+        # even under flash attention (bias is a kernel input); past ~1024 px
+        # the transients outgrow a 16 GB chip.  Cap the whole-image pass the
+        # same way the reference caps r_max to fit its 8 GB GPU
+        # (README.md:69) — patch estimates carry the high-frequency detail.
+        if self.predictor._beit_bias_hoist:
+            whole_image_optimal_size = min(whole_image_optimal_size, 1024)
+
+        whole = self._double_estimate_dev(img, rf, whole_image_optimal_size)
+        updated = _to_frame_jit(whole, h, w)          # (h, w) device
 
         factor = max(min(1.0, 4 * patch_scale *
-                         whole_image_optimal_size / whole_size_threshold), 0.2)
+                         whole_image_optimal_size / whole_size_threshold),
+                     0.2)
 
-        if img.shape[0] > img.shape[1]:
+        if h > w:
             a = 2 * whole_image_optimal_size
-            b = round(2 * whole_image_optimal_size *
-                      img.shape[1] / img.shape[0])
+            b = round(2 * whole_image_optimal_size * w / h)
         else:
-            a = round(2 * whole_image_optimal_size *
-                      img.shape[0] / img.shape[1])
+            a = round(2 * whole_image_optimal_size * h / w)
             b = 2 * whole_image_optimal_size
         b = int(round(b / factor))
         a = int(round(a / factor))
         img_big = cv2.resize(img, (b, a), interpolation=cv2.INTER_CUBIC)
 
-        base_size = rf * 2
-        patchset = generate_patches(img_big, base_size, factor)
-
-        mergein_scale = input_resolution[0] / img_big.shape[0]
-        img_scaled = cv2.resize(
-            img_big, (round(img_big.shape[1] * mergein_scale),
-                      round(img_big.shape[0] * mergein_scale)),
-            interpolation=cv2.INTER_CUBIC)
-        whole_estimate_resized = cv2.resize(
-            whole_estimate, (img_scaled.shape[1], img_scaled.shape[0]),
-            interpolation=cv2.INTER_CUBIC)
-        updated = whole_estimate_resized.copy()
-
-        # scale patch rects into the merge frame
+        # adaptive patch selection runs on the host (cheap cv2 gradient
+        # analysis); the merge frame is pinned to the input resolution so
+        # every device program in the chain is keyed on (h, w) only
+        patchset = generate_patches(img_big, rf * 2, factor)
+        sy, sx = h / img_big.shape[0], w / img_big.shape[1]
         rects = []
         for p in patchset:
-            rect = np.round(np.array(p["rect"]) * mergein_scale).astype(int)
+            r = p["rect"]
+            rect = (int(round(r[0] * sx)), int(round(r[1] * sy)),
+                    int(round(r[2] * sx)), int(round(r[3] * sy)))
             if rect[2] > 0 and rect[3] > 0:
                 rects.append(rect)
         if not rects:
-            return cv2.resize(updated,
-                              (input_resolution[1], input_resolution[0]),
-                              interpolation=cv2.INTER_CUBIC)
+            return np.asarray(updated)
 
-        # ---- batched patch double estimation --------------------------
+        # ---- batched patch double estimation (device) ------------------
         # the reference runs 2 model passes + 1 merge PER PATCH serially
-        # (:879-938); all patches here go through two stacked device
-        # forwards (low-res + high-res net sizes) upsampled on-device
-        # straight to the 1024^2 merge resolution, then one batched merge
-        patch_rgbs = [img_scaled[r[1]:r[1] + r[3], r[0]:r[0] + r[2]]
-                      for r in rects]
-        mode = "upper_bound" if self.model_type in range(1, 7) else None
-        lows = self.predictor.predict_batch_list(
-            patch_rgbs, rf, rf, (PIX2PIX_SIZE, PIX2PIX_SIZE), mode)
-        highs = self.predictor.predict_batch_list(
-            patch_rgbs, patch_netsize, patch_netsize,
-            (PIX2PIX_SIZE, PIX2PIX_SIZE), mode)
-        merged_patches = self._merge_pairs(lows, highs)
-        # doubleestimate for patches keeps min-max normalize semantics
-        lo = merged_patches.min(axis=(1, 2), keepdims=True)
-        hi = merged_patches.max(axis=(1, 2), keepdims=True)
-        merged_patches = np.where(hi > lo, (merged_patches - lo) /
-                                  np.where(hi > lo, hi - lo, 1), 0.0)
+        # (:879-938); here each chunk of patches is cropped, estimated at
+        # both net sizes, pix2pix-merged twice and polyfit-mapped in
+        # batched device calls.  The ragged tail is padded to the full
+        # merge batch (one compiled batch shape total).
+        mb = self.merge_batch
+        n = len(rects)
+        n_pad = -(-n // mb) * mb
+        rects_arr = np.zeros((n_pad, 4), np.int32)
+        rects_arr[:n] = np.asarray(rects, np.int32)
+        img_dev = jnp.asarray(img)
+        merged_chunks = []
+        for i in range(0, n_pad, mb):
+            rc = jnp.asarray(rects_arr[i:i + mb])
+            low_raw = _crop_resize_batch(img_dev, rc, rf, rf)
+            high_raw = _crop_resize_batch(img_dev, rc, 2 * rf, 2 * rf)
+            lows = self._forward_dev(low_raw, rf)
+            highs = self._forward_dev(high_raw, 2 * rf)
+            m1 = _minmax_norm_batch(
+                self._merge(self.p2p_vars, lows, highs))
+            base = _crop_resize_batch(updated, rc, PIX2PIX_SIZE,
+                                      PIX2PIX_SIZE)
+            mapped = self._merge(self.p2p_vars, base, m1)
+            merged_chunks.append(_fit_to_base(mapped, base))
+        merged = jnp.concatenate(merged_chunks, axis=0)
 
-        # base patches + second merge (patch vs base region)
-        base_patches = np.stack([
-            cv2.resize(updated[r[1]:r[1] + r[3], r[0]:r[0] + r[2]],
-                       (PIX2PIX_SIZE, PIX2PIX_SIZE),
-                       interpolation=cv2.INTER_CUBIC) for r in rects])
-        mapped = self._merge_pairs(base_patches, merged_patches)
-
-        # ---- sequential blend (order: big -> small) --------------------
-        mask_org = generate_mask((3000, 3000))
-        for i, r in enumerate(rects):
-            org_h, org_w = r[3], r[2]
-            m = mapped[i]
-            base = base_patches[i]
-            # deg-1 polyfit of mapped -> base (reference :915)
-            p_coef = np.polyfit(m.reshape(-1), base.reshape(-1), deg=1)
-            merged = np.polyval(p_coef, m.reshape(-1)).reshape(m.shape)
-            merged = cv2.resize(merged, (org_w, org_h),
-                                interpolation=cv2.INTER_CUBIC)
-            mask = cv2.resize(mask_org, (org_w, org_h),
-                              interpolation=cv2.INTER_LINEAR)
-            w1, h1 = r[0], r[1]
-            w2, h2 = w1 + org_w, h1 + org_h
-            updated[h1:h2, w1:w2] = updated[h1:h2, w1:w2] * (1 - mask) + \
-                merged * mask
-
-        return cv2.resize(updated, (input_resolution[1], input_resolution[0]),
-                          interpolation=cv2.INTER_CUBIC)
+        # ---- sequential blend (order: big -> small), on device ---------
+        if self._mask_dev is None:
+            self._mask_dev = jnp.asarray(generate_mask((3000, 3000)))
+        updated = _blend_patches(updated, merged, jnp.asarray(rects_arr),
+                                 self._mask_dev)
+        return np.asarray(updated)

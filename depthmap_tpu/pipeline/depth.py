@@ -153,6 +153,20 @@ class DepthPredictor:
     def _beit_bias_hoist(self) -> bool:
         return self._beit_hoist_info()[0] is not None
 
+    def _bias_hoist_ok(self, grid: Tuple[int, int]) -> bool:
+        """Hoisting keeps all `depth` (H, N, N) bias tensors resident at
+        once — the right trade for the hot streaming buckets (BEiT-L @512²:
+        ~0.8 GB bf16), catastrophic at Boost's R_x-sized whole-image
+        forwards (net 1152x1536 -> 24 x 16 x 6913² ≈ 73 GB).  Above the cap
+        the forward computes each block's bias inline (peak = one bias)."""
+        backbone, _ = self._beit_hoist_info()
+        if backbone is None:
+            return False
+        n = grid[0] * grid[1] + 1
+        resident = (backbone.depth * backbone.num_heads * n * n *
+                    self.compute_dtype.itemsize)
+        return resident <= 2 << 30
+
     def _rel_biases(self, grid: Tuple[int, int]):
         if grid not in self._bias_cache:
             from depthmap_tpu.models.beit import precompute_rel_biases
@@ -162,13 +176,16 @@ class DepthPredictor:
         return self._bias_cache[grid]
 
     def _forward_fn(self, out_h: int, out_w: int,
-                    net_size: Optional[Tuple[int, int]] = None):
-        key = (out_h, out_w, net_size)
+                    net_size: Optional[Tuple[int, int]] = None,
+                    hoist: Optional[bool] = None):
+        if hoist is None:
+            hoist = self._beit_bias_hoist
+        key = (out_h, out_w, net_size, hoist)
         if key not in self._jit_cache:
             bundle = self.bundle
             dt = self.compute_dtype
 
-            if bundle.prep_in_model and self._beit_bias_hoist:
+            if bundle.prep_in_model and hoist:
                 @jax.jit
                 def run(variables, x, rel_bias):
                     pred = bundle.module.apply(variables, x.astype(dt),
@@ -181,7 +198,7 @@ class DepthPredictor:
                     pred = bundle.module.apply(variables, x.astype(dt),
                                                net_size=net_size)
                     return pred.astype(jnp.float32)
-            elif self._beit_bias_hoist:
+            elif hoist:
                 @jax.jit
                 def run(variables, x, rel_bias):
                     pred = bundle.module.apply(variables, x.astype(dt),
@@ -205,7 +222,6 @@ class DepthPredictor:
     def _apply(self, x, out_h: int, out_w: int,
                net_size: Optional[Tuple[int, int]] = None):
         """Dispatch one compiled forward on preprocessed input `x`."""
-        run = self._forward_fn(out_h, out_w, net_size)
         backbone, _ = self._beit_hoist_info()
         if backbone is not None:
             if self.bundle.prep_in_model:
@@ -218,7 +234,12 @@ class DepthPredictor:
             else:
                 grid = (x.shape[1] // backbone.patch_size,
                         x.shape[2] // backbone.patch_size)
-            return run(self.variables, x, self._rel_biases(grid))
+            if self._bias_hoist_ok(grid):
+                run = self._forward_fn(out_h, out_w, net_size, hoist=True)
+                return run(self.variables, x, self._rel_biases(grid))
+            run = self._forward_fn(out_h, out_w, net_size, hoist=False)
+            return run(self.variables, x)
+        run = self._forward_fn(out_h, out_w, net_size, hoist=False)
         return run(self.variables, x)
 
     def _prep(self, img01: np.ndarray, net_w: int, net_h: int,
@@ -306,8 +327,17 @@ class DepthPredictor:
         xs = np.concatenate(xs, axis=0)
         outs = []
         for i in range(0, xs.shape[0], chunk):
-            outs.append(np.asarray(self._apply(jnp.asarray(xs[i:i + chunk]),
-                                               out_size[0], out_size[1])))
+            blk = xs[i:i + chunk]
+            n = blk.shape[0]
+            if n < chunk:
+                # pad ragged tail to the full chunk: one compiled batch shape
+                # total, instead of a fresh XLA program per distinct tail
+                # size (each compile costs tens of seconds on TPU)
+                blk = np.concatenate(
+                    [blk, np.repeat(blk[-1:], chunk - n, axis=0)], axis=0)
+            out = np.asarray(self._apply(jnp.asarray(blk),
+                                         out_size[0], out_size[1]))
+            outs.append(out[:n])
         return np.concatenate(outs, axis=0)
 
     @property
