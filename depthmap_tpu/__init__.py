@@ -16,5 +16,32 @@ are Pallas TPU kernels, and batch/video parallelism rides a
 
 __version__ = "0.1.0"
 
-from depthmap_tpu.options import GenerationOptions  # noqa: F401
-from depthmap_tpu.registry import MODELS, ModelSpec, resolve_model_type  # noqa: F401
+
+def _enable_persistent_compile_cache():
+    """XLA compiles cost tens of seconds on TPU; the persistent cache makes
+    every process after the first start in ~1 s per program (verified
+    through the remote-compile tunnel: 11.7 s -> 0.9 s).  Opt out with
+    DEPTHMAP_NO_XLA_CACHE=1 or override via JAX_COMPILATION_CACHE_DIR."""
+    import os
+    if os.environ.get("DEPTHMAP_NO_XLA_CACHE") == "1":
+        return
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "depthmap_tpu", "xla")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            # persist even sub-second programs: through the remote-compile
+            # tunnel every compile costs a >=0.3 s roundtrip, so a disk hit
+            # always wins
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
+
+from depthmap_tpu.options import GenerationOptions  # noqa: F401,E402
+from depthmap_tpu.registry import MODELS, ModelSpec, resolve_model_type  # noqa: F401,E402

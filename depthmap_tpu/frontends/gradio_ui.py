@@ -439,8 +439,12 @@ def run_generate(named: Dict[str, Any], outpath: Optional[str] = None):
                 gallery.append(display)
                 if save:
                     base = inputnames[idx] or "depthmap"
+                    # depth saves with NO suffix ({stem}-0000.png) like the
+                    # reference (scripts/depthmap.py:65) — that is also the
+                    # first reuse-candidate name the batch tab looks for
+                    suffix = "" if otype == "depth" else str(otype)
                     fn = get_unique_filename(outpath, base, "png",
-                                             suffix=str(otype))
+                                             suffix=suffix)
                     result.save(fn)
             elif isinstance(result, str):
                 gallery.append(result) if result.endswith(".png") else None

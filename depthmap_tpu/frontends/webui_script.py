@@ -127,6 +127,8 @@ class DepthmapScriptLogic:
             processed.images.append(result)
             if named.get("save_outputs", True):
                 try:
+                    # reference quirk kept: suffix has no separator
+                    # (scripts/depthmap.py:65 `f"{type}"`)
                     suffix = "" if otype == "depth" else f"{otype}"
                     images_.save_image(
                         result, path=p.outpath_samples, basename="",
@@ -156,6 +158,9 @@ def on_ui_settings():
     add_option("keepmodels", False, "Do not unload depth/pix2pix models.")
     add_option("boost_rmax", 1600, "Maximum wholesize for boost (Rmax)")
     add_option("marigold_ensembles", 5, "Marigold ensemble size")
+    # reference quirk kept: the settings panel registers 10
+    # (scripts/depthmap.py:91) while the standalone default is 12
+    # (src/backbone.py:137)
     add_option("marigold_steps", 10, "Marigold denoising steps")
     add_option("save_ply", False, "Save additional PLY 3D inpainted mesh.")
     add_option("show_3d", True, "Show 3D Meshes in output tab.")

@@ -16,7 +16,8 @@ import numpy as np
 from depthmap_tpu.models.convert import SDict, conv_w, convt_w
 
 
-def spectral_weight(sd: SDict, name: str) -> np.ndarray:
+def spectral_weight(sd: SDict, name: str,
+                    transpose: bool = False) -> np.ndarray:
     """Effective conv weight for a spectral_norm-wrapped torch module.
 
     torch's eval-time compute_weight uses the checkpoint's stored u AND v
@@ -26,8 +27,9 @@ def spectral_weight(sd: SDict, name: str) -> np.ndarray:
         w = sd.raw(name + ".weight_orig")
         u = sd.raw(name + ".weight_u")
         # torch applies spectral_norm over dim=0 (Conv) / dim=1
-        # (ConvTranspose); recover the dim from u's length
-        dim = 0 if w.shape[0] == u.shape[0] else 1
+        # (ConvTranspose) — the caller knows which layer this is; shape
+        # inference alone misidentifies square ConvTransposes (in==out)
+        dim = 1 if transpose else 0
         assert w.shape[dim] == u.shape[0], (w.shape, u.shape)
         wm = np.moveaxis(w, dim, 0).reshape(w.shape[dim], -1)
         if sd.has(name + ".weight_v"):
@@ -41,7 +43,7 @@ def spectral_weight(sd: SDict, name: str) -> np.ndarray:
 
 
 def _sn_conv(sd: SDict, name: str, transpose: bool = False):
-    w = spectral_weight(sd, name)
+    w = spectral_weight(sd, name, transpose=transpose)
     out = {"kernel": convt_w(w) if transpose else conv_w(w)}
     if sd.has(name + ".bias"):
         out["bias"] = sd.raw(name + ".bias")

@@ -213,13 +213,7 @@ class InpaintEdgeNet(nn.Module):
         out = nn.Conv(1, (7, 7), padding="VALID", name="dec2")(h)
         return jax.nn.sigmoid(out)
 
-
-def pad_to_unit(x: jnp.ndarray, unit: int = 128):
-    """forward_3P padding convention: center in a zero canvas whose sides are
-    multiples of `unit`; returns (padded, (top, bottom, left, right))."""
-    n, h, w, c = x.shape
-    rh = int(np.ceil(h / unit) * unit - h)
-    rw = int(np.ceil(w / unit) * unit - w)
-    top, left = rh // 2, rw // 2
-    out = jnp.pad(x, ((0, 0), (top, rh - top), (left, rw - left), (0, 0)))
-    return out, (top, top + h, left, left + w)
+# NOTE: the reference's forward_3P centers crops in a zero canvas padded to
+# 128-multiples (inpaint/networks.py:178).  The TPU glue pads to power-of-two
+# buckets of 128 instead (pipeline/inpaint_mesh.py `_pad_bucket`) so the
+# jitted nets compile O(log) shapes per stream rather than one per crop size.

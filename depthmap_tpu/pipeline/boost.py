@@ -313,46 +313,13 @@ class BoostEngine:
         self._prep_dev = _prep_dev
         self._mask_dev = None   # lazy device upload of the 3000^2 blend mask
 
-    # -- model single estimates -------------------------------------------
-    def _single(self, img: np.ndarray, msize: int) -> np.ndarray:
-        """singleestimate (reference :1054-1067): per-family transform at a
-        square msize net size."""
-        mode = "upper_bound" if self.model_type in range(1, 7) else None
-        pred = self.predictor.predict(img, msize, msize, resize_mode=mode)
-        return pred
-
-    def _merge_pairs(self, lows: np.ndarray, highs: np.ndarray) -> np.ndarray:
-        """Batched pix2pix merge at 1024^2, chunked to bound memory.
-
-        Ragged tails are padded to the full merge batch so exactly one batch
-        shape is ever compiled (a fresh XLA program per tail size would cost
-        tens of seconds each on TPU)."""
-        mb = self.merge_batch
-        outs = []
-        for i in range(0, lows.shape[0], mb):
-            lo, hi = lows[i:i + mb], highs[i:i + mb]
-            n = lo.shape[0]
-            if n < mb:
-                lo = np.concatenate([lo, np.repeat(lo[-1:], mb - n, 0)], 0)
-                hi = np.concatenate([hi, np.repeat(hi[-1:], mb - n, 0)], 0)
-            out = np.asarray(self._merge(self.p2p_vars, jnp.asarray(lo),
-                                         jnp.asarray(hi)))
-            outs.append(out[:n])
-        return np.concatenate(outs, axis=0)
-
+    # -- device-resident chain --------------------------------------------
     def double_estimate(self, img: np.ndarray, size1: int,
                         size2: int) -> np.ndarray:
-        e1 = cv2.resize(self._single(img, size1),
-                        (PIX2PIX_SIZE, PIX2PIX_SIZE),
-                        interpolation=cv2.INTER_CUBIC)
-        e2 = cv2.resize(self._single(img, size2),
-                        (PIX2PIX_SIZE, PIX2PIX_SIZE),
-                        interpolation=cv2.INTER_CUBIC)
-        merged = self._merge_pairs(e1[None], e2[None])[0]
-        lo, hi = merged.min(), merged.max()
-        return (merged - lo) / (hi - lo) if hi > lo else merged * 0.0
-
-    # -- device-resident chain --------------------------------------------
+        """doubleestimate (reference :1028-1049) as a host-numpy API:
+        thin wrapper over the device chain."""
+        return np.asarray(self._double_estimate_dev(
+            np.asarray(img, np.float32), size1, size2))
     def _upsample_to_p(self, x):
         """(c, h, w) device estimates -> (c, P, P)."""
         if x.shape[-2:] == (PIX2PIX_SIZE, PIX2PIX_SIZE):

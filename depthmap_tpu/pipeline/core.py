@@ -34,14 +34,22 @@ class PredictorCache:
     def __init__(self):
         self._predictor: Optional[DepthPredictor] = None
         self._boost = None
+        self._kw: Optional[dict] = None
 
     def get(self, model_type, tiling_mode: bool = False,
             **kw) -> DepthPredictor:
         mt = resolve_model_type(model_type)
+        # marigold knobs only shape the type-10 predictor; ignore them in
+        # the rebuild decision elsewhere (a changed slider must not evict a
+        # compiled BEiT)
+        eff_kw = kw if mt == 10 else \
+            {k: v for k, v in kw.items() if not k.startswith("marigold_")}
         if self._predictor is None or self._predictor.model_type != mt or \
-                self._predictor.tiling_mode != tiling_mode:
+                self._predictor.tiling_mode != tiling_mode or \
+                self._kw != eff_kw:
             self._predictor = DepthPredictor(mt, tiling_mode=tiling_mode,
-                                             **kw)
+                                             **eff_kw)
+            self._kw = eff_kw
             self._boost = None
         return self._predictor
 
@@ -135,6 +143,16 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
     inp = GenerationOptions.from_dict(inp if inp is not None else {})
     cache = predictor_cache or _default_cache
 
+    # environment-level settings (reference backbone.gather_ops defaults,
+    # backbone.py:132-137; WebUI settings panel feeds these through
+    # webui_script.Script.run)
+    ops = ops or {}
+    boost_rmax = int(ops.get("boost_rmax", 1600))
+    predictor_kw = {
+        "marigold_ensembles": int(ops.get("marigold_ensembles", 5)),
+        "marigold_steps": int(ops.get("marigold_steps", 12)),
+    }
+
     background_removed_images = []
     if inp.gen_rembg:
         from depthmap_tpu.pipeline.rembg_integration import (
@@ -152,7 +170,8 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
 
     predictor = None
     if not inputdepthmaps_complete:
-        predictor = cache.get(inp.model_type, tiling_mode=inp.tiling_mode)
+        predictor = cache.get(inp.model_type, tiling_mode=inp.tiling_mode,
+                              **predictor_kw)
 
     inpaint_imgs = []
     inpaint_depths = []
@@ -176,9 +195,11 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
             try:
                 if inp.boost:
                     boost = cache.get_boost(inp.model_type,
-                                            tiling_mode=inp.tiling_mode)
+                                            tiling_mode=inp.tiling_mode,
+                                            **predictor_kw)
                     with stage("boost_estimate"):
-                        raw_prediction = boost.estimate(img01)
+                        raw_prediction = boost.estimate(
+                            img01, whole_size_threshold=boost_rmax)
                 else:
                     with stage("depth_predict"):
                         raw_prediction = predictor.predict(img01, net_width,

@@ -72,16 +72,19 @@ class DepthPredictor:
             params = self._random_init(seed)
         # cast float params to the compute dtype and place on device ONCE
         # (converted checkpoints arrive as host numpy; without this every
-        # dispatch would re-upload the weights)
+        # dispatch would re-upload the weights).  One jitted program for the
+        # whole tree: eager per-leaf casts compile one tiny XLA program per
+        # distinct shape (~0.4 s each through remote compile — minutes of
+        # startup for a 200-leaf model)
         dt = self.compute_dtype
 
         def _cast(a):
-            dtype = getattr(a, "dtype", None)
-            if dtype is not None and jnp.issubdtype(dtype, jnp.floating):
-                return jnp.asarray(a, dt)
-            return jnp.asarray(a)
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a.astype(dt)
+            return a
 
-        self.variables = jax.device_put(jax.tree.map(_cast, params))
+        self.variables = jax.jit(
+            lambda tree: jax.tree.map(_cast, tree))(params)
 
     # -- init / weights ----------------------------------------------------
     def _random_init(self, seed: int):

@@ -668,7 +668,7 @@ def build_inpaint_callables(weights_dir: str = "./models/3dphoto",
     from depthmap_tpu.models.convert_inpaint import load_inpaint_nets
     from depthmap_tpu.models.inpaint_nets import (InpaintColorNet,
                                                   InpaintDepthNet,
-                                                  InpaintEdgeNet, pad_to_unit)
+                                                  InpaintEdgeNet)
     try:
         variables = load_inpaint_nets(weights_dir)
     except Exception:
@@ -687,27 +687,48 @@ def build_inpaint_callables(weights_dir: str = "./models/3dphoto",
         x = jnp.stack([jnp.asarray(p, jnp.float32) for p in planes], axis=-1)
         return x[None]
 
+    def _bucket(d: int) -> int:
+        """Next power-of-two multiple of the forward_3P unit (128): crops
+        compile O(log) net shapes per stream instead of one XLA program per
+        distinct edge-group size (tens of seconds each on TPU).  The extra
+        zero/zero-mask border is semantically inert for the partial-conv
+        nets beyond the border effects the reference's own 128-padding has
+        (inpaint/networks.py:178 forward_3P)."""
+        units = -(-d // 128)
+        p = 1
+        while p < units:
+            p *= 2
+        return p * 128
+
+    def _pad_bucket(x):
+        n, h, w, c = x.shape
+        rh, rw = _bucket(h) - h, _bucket(w) - w
+        top, left = rh // 2, rw // 2
+        out = jnp.pad(x, ((0, 0), (top, rh - top), (left, rw - left),
+                          (0, 0)))
+        return out, (top, top + h, left, left + w)
+
     def edge_fn(rgb01, disp, edge_in, context, mask):
         x = jnp.concatenate([
             jnp.asarray(rgb01, jnp.float32)[None],
             _prep(disp / max(float(np.max(disp)), 1e-8)),
             _prep(edge_in), _prep(context), _prep(mask)], axis=-1)
-        xp, (t, b, l, r) = pad_to_unit(x)
+        xp, (t, b, l, r) = _pad_bucket(x)
         out = e_apply(variables["edge"], xp)
         return np.asarray(out[0, t:b, l:r, 0])
 
     def depth_fn(depth, edge, context, mask):
         args = [_prep(depth), _prep(edge), _prep(context), _prep(mask)]
-        padded = [pad_to_unit(a)[0] for a in args]
-        t, b, l, r = pad_to_unit(args[0])[1]
+        padded = [_pad_bucket(a)[0] for a in args]
+        t, b, l, r = _pad_bucket(args[0])[1]
         out = d_apply(variables["depth"], *padded)
         return np.asarray(out[0, t:b, l:r, 0])
 
     def color_fn(rgb01, edge, context, mask):
         rgb = jnp.asarray(rgb01, jnp.float32)[None]
         args = [rgb, _prep(edge), _prep(context), _prep(mask)]
-        padded = [pad_to_unit(a)[0] for a in args]
-        t, b, l, r = pad_to_unit(args[1])[1]
+        padded = [_pad_bucket(a)[0] for a in args]
+        t, b, l, r = _pad_bucket(args[1])[1]
         out = c_apply(variables["color"], *padded)
         return np.asarray(out[0, t:b, l:r, :])
 

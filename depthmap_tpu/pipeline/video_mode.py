@@ -38,21 +38,23 @@ def read_depth_video_16(path: str):
         import av
     except Exception:
         return None
+    container = None
     try:
         container = av.open(path)
         stream = container.streams.video[0]
         if "gray16" not in str(stream.codec_context.format.name):
-            container.close()
             return None
         fps = float(stream.average_rate or 24)
         frames = []
         for frame in container.decode(video=0):
             arr = frame.to_ndarray(format="gray16le")
             frames.append(Image.fromarray(arr.astype(np.uint16), mode="I;16"))
-        container.close()
         return fps, frames
     except Exception:
         return None
+    finally:
+        if container is not None:
+            container.close()
 
 
 def write_depth_video_16(frames: List[Image.Image], fps: float,
@@ -64,6 +66,7 @@ def write_depth_video_16(frames: List[Image.Image], fps: float,
         from fractions import Fraction
     except Exception:
         return False
+    container = None
     try:
         w, h = frames[0].size
         container = av.open(out_path, "w", format="avi")
@@ -81,6 +84,18 @@ def write_depth_video_16(frames: List[Image.Image], fps: float,
         container.close()
         return True
     except Exception:
+        # close + remove the partial file so the PNG-sequence fallback does
+        # not leave a corrupt .avi next to the good output
+        if container is not None:
+            try:
+                container.close()
+            except Exception:
+                pass
+        if os.path.exists(out_path):
+            try:
+                os.remove(out_path)
+            except OSError:
+                pass
         return False
 
 
@@ -101,6 +116,7 @@ def _write_color_video(arrs: List[np.ndarray], fps: float, path: str,
         priority = list(reversed(priority))
     for v_format, codec in priority:
         out = os.path.join(path, f"{name}.{v_format}")
+        container = None
         try:
             container = av.open(out, "w", format=v_format)
             stream = container.add_stream(
@@ -121,6 +137,17 @@ def _write_color_video(arrs: List[np.ndarray], fps: float, path: str,
         except Exception:
             import traceback
             traceback.print_exc()
+            # close + remove the partial file before trying the next codec
+            if container is not None:
+                try:
+                    container.close()
+                except Exception:
+                    pass
+            if os.path.exists(out):
+                try:
+                    os.remove(out)
+                except OSError:
+                    pass
     return None
 
 

@@ -34,7 +34,10 @@ def test_edge_net_converter_structure(rng):
         kh, kw, i, o = flax_kernel.shape
         shape = (i, o, kh, kw) if transpose else (o, i, kh, kw)
         fake[name + ".weight_orig"] = torch.randn(shape)
-        u = torch.randn(shape[0]); u /= u.norm()
+        # torch spectral_norm: dim=1 for ConvTranspose (u sized out_ch),
+        # dim=0 for Conv — verified against nn.utils.spectral_norm
+        u = torch.randn(shape[1] if transpose else shape[0])
+        u /= u.norm()
         fake[name + ".weight_u"] = u
         if bias:
             fake[name + ".bias"] = torch.zeros(

@@ -113,3 +113,32 @@ def test_predict_batch_list_matches_predict(rng):
             __import__("jax.numpy", fromlist=["asarray"]).asarray(x),
             40, 56))[0]
         assert np.allclose(batched[i], single, atol=1e-5)
+
+
+def test_funnel_ops_plumbing(rng, tmp_path):
+    """Environment-level settings (reference backbone.gather_ops) must reach
+    the engines: boost_rmax -> BoostEngine.estimate's whole_size_threshold,
+    marigold knobs -> the predictor cache kwargs."""
+    import numpy as np
+    from depthmap_tpu.pipeline.core import PredictorCache
+    seen = {}
+
+    class StubBoost:
+        def estimate(self, img, whole_size_threshold=1600):
+            seen["rmax"] = whole_size_threshold
+            return np.asarray(img)[..., 0].astype("float32")
+
+    class Cache(PredictorCache):
+        def get_boost(self, model_type, weights_dir="./models", **kw):
+            seen["kw"] = kw
+            return StubBoost()
+
+    inp = GenerationOptions(model_type=6, boost=True,
+                            net_width=64, net_height=64)
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng)], None, ["a"], inp,
+        ops={"boost_rmax": 320, "marigold_steps": 7},
+        predictor_cache=Cache()))
+    assert seen["rmax"] == 320
+    assert seen["kw"]["marigold_steps"] == 7
+    assert results[0][1] == "depth"
