@@ -357,6 +357,20 @@ class BoostEngine:
                           net_size)
         return self._upsample_to_p(out)
 
+    @staticmethod
+    def _shard_rects(rects_chunk: np.ndarray):
+        """Multi-chip: shard the patch axis over the mesh "data" axis; the
+        sharding propagates through the whole per-chunk device chain
+        (crops -> both net forwards -> both merges -> polyfit)."""
+        devices = jax.devices()
+        if len(devices) > 1 and rects_chunk.shape[0] % len(devices) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from depthmap_tpu.parallel.mesh import make_mesh
+            return jax.device_put(
+                jnp.asarray(rects_chunk),
+                NamedSharding(make_mesh(), P("data", None)))
+        return jnp.asarray(rects_chunk)
+
     def _double_estimate_dev(self, img: np.ndarray, size1: int, size2: int):
         """doubleestimate (:1028-1049) with every intermediate on device;
         returns the normalized merged estimate at (P, P)."""
@@ -433,8 +447,13 @@ class BoostEngine:
         # (:879-938); here each chunk of patches is cropped, estimated at
         # both net sizes, pix2pix-merged twice and polyfit-mapped in
         # batched device calls.  The ragged tail is padded to the full
-        # merge batch (one compiled batch shape total).
-        mb = self.merge_batch
+        # merge batch (one compiled batch shape total).  Multi-chip: the
+        # patch axis shards over the mesh "data" axis (the reference's
+        # serial patch loop is embarrassingly parallel, SURVEY §2.4) — the
+        # chunk grows to merge_batch per device and the sharded rects
+        # propagate through crops, forwards and merges.
+        n_dev = len(jax.devices())
+        mb = self.merge_batch * max(1, n_dev)
         n = len(rects)
         n_pad = -(-n // mb) * mb
         rects_arr = np.zeros((n_pad, 4), np.int32)
@@ -442,7 +461,7 @@ class BoostEngine:
         img_dev = jnp.asarray(img)
         merged_chunks = []
         for i in range(0, n_pad, mb):
-            rc = jnp.asarray(rects_arr[i:i + mb])
+            rc = self._shard_rects(rects_arr[i:i + mb])
             low_raw = _crop_resize_batch(img_dev, rc, rf, rf)
             high_raw = _crop_resize_batch(img_dev, rc, 2 * rf, 2 * rf)
             lows = self._forward_dev(low_raw, rf)
