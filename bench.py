@@ -191,6 +191,37 @@ def bench_boost_seconds():
     }
 
 
+def bench_ldi_mesh_seconds():
+    """Inpainted-mesh (3D photo) generation seconds/image at 384x512 — the
+    reference's vispy/networkx pipeline takes minutes at this size.  Runs the
+    geometry + propagation-fallback inpaint path (no net weights in env);
+    host-side (the LDI graph build is CPU work in both implementations)."""
+    from depthmap_tpu.pipeline.inpaint_mesh import write_mesh
+    import tempfile
+    rng = np.random.default_rng(0)
+    h, w = 384, 512
+    img = rng.random((h, w, 3)).astype(np.float32)
+    depth = np.full((h, w), 2.0, np.float32)
+    depth[:, :w // 2] = 4.0           # plane tear
+    yy, xx = np.mgrid[:h, :w]
+    depth[(yy - 200) ** 2 + (xx - 300) ** 2 < 60 ** 2] = 1.2  # occluder
+    int_mtx = np.array([[max(h, w), 0, w / 2], [0, max(h, w), h / 2],
+                        [0, 0, 1]], np.float32)
+    config = {"save_obj": True, "save_ply": False, "sparse_iter": 2}
+    with tempfile.TemporaryDirectory() as td:
+        dt = float("inf")
+        for i in range(2):      # first pass pays the jit compiles
+            t0 = time.perf_counter()
+            write_mesh(img, depth, int_mtx, os.path.join(td, f"m{i}.obj"),
+                       config, None)
+            dt = min(dt, time.perf_counter() - t0)
+    return {
+        "metric": f"ldi_mesh_seconds_{w}x{h}_no_nets",
+        "value": round(dt, 2),
+        "unit": "s/image",
+    }
+
+
 def main():
     headline = bench_depth_fps()
     extra = []
@@ -215,6 +246,10 @@ def main():
             extra.append(bench_boost_seconds())
         except Exception as e:
             extra.append({"metric": "boost_seconds", "error": str(e)})
+        try:
+            extra.append(bench_ldi_mesh_seconds())
+        except Exception as e:
+            extra.append({"metric": "ldi_mesh_seconds", "error": str(e)})
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_EXTRA.json"), "w") as f:
