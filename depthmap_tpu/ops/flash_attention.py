@@ -69,12 +69,19 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
-def auto_blocks(n: int, cap: int = 1536):
+def auto_blocks(n: int, dtype=None, cap: Optional[int] = None):
     """Pick (block_q, block_k) for sequence length n: a single whole-row
     tile when it fits VMEM comfortably (s tile = bq*bk*4B), else a 512x1152
     scan.  Measured on v5e at BEiT-512 (N=1025, H=16, b32): whole-row 8.3
-    ms/layer vs 11.5 ms for XLA's materialized softmax."""
+    ms/layer vs 11.5 ms for XLA's materialized softmax.
+
+    The whole-row cap is dtype-aware: f32 inputs double the q/k/v/bias tile
+    footprint, and whole-row 1152 f32 overflows the 16 MB scoped vmem
+    (observed at ZoeDepth's f32-policy N=769 -> padded 1152: 21.55M)."""
     padded = -(-n // _LANES) * _LANES
+    if cap is None:
+        itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 2
+        cap = 1536 if itemsize <= 2 else 768
     if padded <= cap:
         return padded, padded
     return 512, 1152
@@ -105,7 +112,7 @@ def flash_attention(q, k, v, bias: Optional[jax.Array] = None,
     b, h, n, d = q.shape
     kv_len = k.shape[2]
     if block_q is None or block_k is None:
-        abq, abk = auto_blocks(max(n, kv_len))
+        abq, abk = auto_blocks(max(n, kv_len), q.dtype)
         block_q = block_q or abq
         block_k = block_k or abk
 
