@@ -1,0 +1,25 @@
+import time, traceback
+import numpy as np
+from depthmap_tpu.pipeline.depth import DepthPredictor
+from depthmap_tpu.registry import MODELS
+
+rng = np.random.default_rng(0)
+img = rng.random((384, 512, 3)).astype(np.float32)
+results = {}
+for mid in range(15):
+    t0 = time.perf_counter()
+    try:
+        kw = {}
+        if mid == 10:
+            kw = {"marigold_ensembles": 2, "marigold_steps": 2}
+        pred = DepthPredictor(mid, **kw)
+        nw, nh = pred.spec.default_net_size
+        out = pred.predict(img, nw, nh)
+        assert out.shape == img.shape[:2] and np.isfinite(out).all()
+        results[mid] = f"OK {time.perf_counter()-t0:.0f}s net={nw}x{nh}"
+    except Exception as e:
+        results[mid] = f"FAIL {type(e).__name__}: {str(e)[:160]}"
+    print(f"[{mid:2d}] {MODELS[mid].name}: {results[mid]}", flush=True)
+    del pred
+n_fail = sum("FAIL" in v for v in results.values())
+print(f"SWEEP DONE: {15 - n_fail}/15 OK", flush=True)

@@ -286,8 +286,15 @@ def _predict_video_depths(input_images, inp, predictor_cache,
                            for im in input_images])
         preds = []
         for i in range(0, len(frames), chunk):
-            preds.append(predictor.predict_batch(frames[i:i + chunk],
-                                                 net_w, net_h))
+            blk = frames[i:i + chunk]
+            n = blk.shape[0]
+            if n < chunk:
+                # pad the ragged tail to the chunk: one compiled batch shape
+                # for any video length (a fresh XLA program per tail size
+                # costs tens of seconds on TPU)
+                blk = np.concatenate(
+                    [blk, np.repeat(blk[-1:], chunk - n, axis=0)], axis=0)
+            preds.append(predictor.predict_batch(blk, net_w, net_h)[:n])
         preds = np.concatenate(preds, axis=0)
         if predictor.raw_prediction_invert:
             preds = -preds
