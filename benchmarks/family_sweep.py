@@ -1,3 +1,13 @@
+"""TPU certification sweep: every model family (ids 0-14) builds, compiles
+and runs one forward at its DEFAULT production net size on real hardware.
+
+CPU tests cannot catch TPU-only failures (Mosaic scoped-vmem overflows,
+HBM limits — e.g. the f32 flash-attention whole-row tile that crashed
+ZoeDepth-N compilation); this sweep certifies the whole zoo on-chip.
+Last full run (single v5e, round 2): 15/15 OK, see PARITY.md.
+
+Usage: python benchmarks/family_sweep.py   (from the repo root; ~20 min)
+"""
 import time, traceback
 import numpy as np
 from depthmap_tpu.pipeline.depth import DepthPredictor
