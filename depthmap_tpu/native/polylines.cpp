@@ -158,3 +158,55 @@ void polylines(const uint8_t* image, const double* nd, int h, int w, int c,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Exact sequential 'naive_interpolating' gap fill, matching the reference's
+// production numba path (src/stereoimage_generation.py:113-141) bit-for-bit:
+//  * channel sums accumulate in int64 (numba promotes; NO uint8 wraparound),
+//  * the left->right sweep mutates the row in place, so a just-written pixel
+//    whose new color is exact black is re-processed against the mutated
+//    neighbourhood (re-entrant semantics a single vectorized pass cannot
+//    reproduce),
+//  * (step * k).astype(np.uint8) == truncate toward zero, then wrap mod 256;
+//    l_border + delta wraps in uint8.
+// derived: (h, w, 3) uint8 in/out; filled: (h, w) uint8 warp-hit mask.
+void fill_naive_interpolating(uint8_t* derived, const uint8_t* filled,
+                              int h, int w) {
+    for (int row = 0; row < h; ++row) {
+        uint8_t* d = derived + (size_t)row * w * 3;
+        const uint8_t* f = filled + (size_t)row * w;
+        for (int l = 0; l < w; ++l) {
+            int64_t s = (int64_t)d[l * 3] + d[l * 3 + 1] + d[l * 3 + 2];
+            if (s != 0 || f[l]) continue;
+            uint8_t lb[3] = {0, 0, 0};
+            if (l > 0) std::memcpy(lb, d + (l - 1) * 3, 3);
+            uint8_t rb[3] = {0, 0, 0};
+            int r = l + 1;
+            for (; r < w; ++r) {
+                int64_t sr = (int64_t)d[r * 3] + d[r * 3 + 1] + d[r * 3 + 2];
+                if (sr != 0 && f[r]) {
+                    std::memcpy(rb, d + r * 3, 3);
+                    break;
+                }
+            }
+            int64_t sl = (int64_t)lb[0] + lb[1] + lb[2];
+            int64_t sr = (int64_t)rb[0] + rb[1] + rb[2];
+            if (sl == 0) std::memcpy(lb, rb, 3);
+            else if (sr == 0) std::memcpy(rb, lb, 3);
+            double total = (double)(1 + r - l);
+            double step[3];
+            for (int ch = 0; ch < 3; ++ch)
+                step[ch] = ((double)rb[ch] - (double)lb[ch]) / total;
+            for (int col = l; col < r; ++col) {
+                for (int ch = 0; ch < 3; ++ch) {
+                    double v = step[ch] * (double)(col - l + 1);
+                    uint8_t delta = (uint8_t)(int64_t)v;  // trunc, wrap
+                    d[col * 3 + ch] = (uint8_t)(lb[ch] + delta);
+                }
+            }
+        }
+    }
+}
+
+}  // extern "C"

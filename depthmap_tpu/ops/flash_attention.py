@@ -135,6 +135,11 @@ def flash_attention(q, k, v, bias: Optional[jax.Array] = None,
     ]
     args = [qp, kp, vp]
     if bias is not None:
+        if bias.ndim == 3:
+            # (H, N, N) head-bias: add the batch axis explicitly — without
+            # it the leading dim would be misread as batch and each batch
+            # element would index a different head's bias block
+            bias = bias[None]
         bias = jnp.broadcast_to(bias, (bias.shape[0], h, n, kv_len))
         bias = _pad_to(_pad_to(bias, 2, block_q), 3, block_k)
         bb = bias.shape[0]

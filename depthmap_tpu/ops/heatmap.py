@@ -21,13 +21,10 @@ except Exception:  # pragma: no cover
 
 @functools.lru_cache(maxsize=None)
 def _cmap_table(cmap: str) -> np.ndarray:
-    """(N, 4) uint8 lookup table for a matplotlib colormap + bad/under/over."""
-    if not _HAVE_MPL:
-        # grayscale fallback table
-        g = np.arange(256, dtype=np.uint8)
-        return np.stack([g, g, g, np.full(256, 255, np.uint8)], axis=1)
-    cm = matplotlib.colormaps[cmap]
-    return cm(np.linspace(0.0, 1.0, cm.N), bytes=True)
+    """(256, 4) uint8 fallback table — grayscale regardless of `cmap` (only
+    used when matplotlib is absent; the mpl path calls colormaps[] directly)."""
+    g = np.arange(256, dtype=np.uint8)
+    return np.stack([g, g, g, np.full(256, 255, np.uint8)], axis=1)
 
 
 def colorize(value: np.ndarray, vmin=None, vmax=None, cmap="inferno",

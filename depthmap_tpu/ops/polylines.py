@@ -35,9 +35,13 @@ def _build_library() -> Optional[str]:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     try:
+        # compile to a private temp name, then atomically publish: a
+        # concurrent process must never CDLL a half-written .so
+        tmp = out + f".tmp.{os.getpid()}"
         subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        "-pthread", src, "-o", out], check=True,
+                        "-pthread", src, "-o", tmp], check=True,
                        capture_output=True)
+        os.replace(tmp, out)
         return out
     except Exception:
         return None
@@ -59,10 +63,33 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
         lib.polylines.restype = None
+        lib.fill_naive_interpolating.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int]
+        lib.fill_naive_interpolating.restype = None
         _LIB = lib
     except Exception:
         _LIB = None
     return _LIB
+
+
+def fill_naive_interpolating_native(derived: np.ndarray,
+                                    filled: np.ndarray
+                                    ) -> Optional[np.ndarray]:
+    """Exact sequential 'naive_interpolating' fill (the reference's numba
+    semantics, incl. re-entrant processing of just-written black pixels).
+    derived: (h, w, 3) uint8; filled: (h, w) bool/uint8 warp-hit mask.
+    Returns the filled image, or None when the native library is absent."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(derived, dtype=np.uint8).copy()
+    f = np.ascontiguousarray(filled, dtype=np.uint8)
+    h, w = f.shape
+    lib.fill_naive_interpolating(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w)
+    return out
 
 
 def _polylines_native(image, nd, divergence_px, separation_px, exponent,

@@ -51,7 +51,10 @@ def _resize_taps(in_size: int, out_size: int, mode: str, align_corners: bool,
         src = (dst + 0.5) * in_size / out_size - 0.5
 
     if mode == "nearest":
-        idx = np.clip(np.floor(dst * in_size / out_size), 0,
+        # torch nearest with an explicit scale_factor maps floor(dst/scale)
+        # (align_corners is ignored by torch for this mode)
+        ratio = (1.0 / scale) if scale is not None else in_size / out_size
+        idx = np.clip(np.floor(dst * ratio), 0,
                       in_size - 1).astype(np.int32)
         return idx[None], np.ones((1, out_size), np.float32)
 

@@ -84,7 +84,7 @@ def _warp(image, normalized_depth, divergence_px, separation_px, exponent):
     return derived, filled
 
 
-def _fill_naive(derived, filled, divergence_px, w):
+def _fill_naive(derived, filled, divergence_px):
     """Nearest-filled-neighbour fill; right wins ties; max search radius
     abs(int(divergence_px)) + 1 (reference :142-157).  Gather-free: the
     bounded offset search unrolls as static shifts."""
@@ -112,23 +112,23 @@ def _fill_naive_interpolating(derived, filled, w):
     each run [l, r) interpolates between derived[l-1] and the first pixel at
     or beyond the run with nonzero color (which, pre-fill, implies filled).
     uint8 wrap-around of the reference's `astype(np.uint8)` on negative floats
-    is reproduced with mod-256 arithmetic.
+    is reproduced with mod-256 arithmetic on the *interpolated values*.
 
-    Canonical-semantics note: the reference has two diverging configurations —
-    under numba njit, `sum(uint8_row)` promotes to int64 (no wrap); in the
-    pure-Python fallback it wraps mod 256, so an RGB sum that is a multiple of
-    256 counts as "black".  We standardize on the *pure-Python fallback*
-    semantics (the one fully specified by the reference source without JIT
-    type-inference subtleties); tests/oracles.py asserts bit-exactness against
-    it.  The difference only affects gap detection for pixels whose channel
-    sum ≡ 0 (mod 256).
+    Canonical-semantics note: the canonical behavior is the reference's
+    production numba path (stereoimage_generation.py:113-141), where channel
+    sums accumulate in int64 (no uint8 wraparound) and the left-to-right
+    sweep mutates the row in place — a just-written pixel whose new color is
+    exact black gets re-processed against the mutated neighbourhood.  The
+    exact sequential fill lives in the native library
+    (ops/polylines.py `fill_naive_interpolating_native`) and is what the
+    single-image host path uses.  THIS vectorized single-pass version is the
+    batched device fallback: it matches the canonical result except on
+    re-entrant pixels (an interpolated pixel landing on exact black — zero
+    probability for natural images whose borders aren't pure black).
     """
     h = derived.shape[0]
     idxb = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
-    # builtin sum() over uint8 pixels wraps mod 256 in the reference's
-    # non-numba fallback — reproduce that quirk (a pixel whose channel sum is
-    # a multiple of 256 counts as "black")
-    csum = jnp.sum(derived.astype(jnp.int32), axis=-1) % 256
+    csum = jnp.sum(derived.astype(jnp.int32), axis=-1)
     qualify = csum != 0                       # can serve as r_border
     gap = (csum == 0) & (~filled)             # pixels that trigger processing
 
@@ -162,8 +162,8 @@ def _fill_naive_interpolating(derived, filled, w):
     ).astype(jnp.float32)
     rb = jnp.where((r_pointer >= w)[..., None], 0.0, rb)
 
-    lb_zero = jnp.sum(lb.astype(jnp.int32), axis=-1, keepdims=True) % 256 == 0
-    rb_zero = jnp.sum(rb.astype(jnp.int32), axis=-1, keepdims=True) % 256 == 0
+    lb_zero = jnp.sum(lb.astype(jnp.int32), axis=-1, keepdims=True) == 0
+    rb_zero = jnp.sum(rb.astype(jnp.int32), axis=-1, keepdims=True) == 0
     lb_eff = jnp.where(lb_zero, rb, lb)
     rb_eff = jnp.where(rb_zero & ~lb_zero, lb, rb)
 
@@ -174,6 +174,17 @@ def _fill_naive_interpolating(derived, filled, w):
     delta = jnp.trunc(step * k).astype(jnp.int32)
     val = (lb_eff.astype(jnp.int32) + delta) % 256
     return jnp.where(written[..., None], val.astype(derived.dtype), derived)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "divergence_px", "separation_px", "exponent"))
+def _warp_jit(image, nd, divergence_px: float, separation_px: float,
+              exponent: float):
+    """Warp only (derived, filled) as one compiled call — feeds the exact
+    sequential host fill."""
+    derived, filled = _warp(image, nd, divergence_px, separation_px,
+                            exponent)
+    return derived.astype(image.dtype), filled
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -193,7 +204,7 @@ def apply_stereo_divergence_naive(image, normalized_depth,
                             separation_px, exponent)
     derived = derived.astype(image.dtype)
     if fill_technique == "naive":
-        derived = _fill_naive(derived, filled, divergence_px, w)
+        derived = _fill_naive(derived, filled, divergence_px)
     elif fill_technique == "naive_interpolating":
         derived = _fill_naive_interpolating(derived, filled, w)
     return derived
@@ -253,13 +264,28 @@ def apply_stereo_divergence(image, depth, divergence, separation,
     w = image.shape[1]
     divergence_px = (divergence / 100.0) * w
     separation_px = (separation / 100.0) * w
-    if fill_technique in ("none", "naive", "naive_interpolating"):
+    if fill_technique == "naive_interpolating":
+        # device warp + exact sequential host fill (canonical numba
+        # semantics incl. re-entry; see _fill_naive_interpolating's note)
+        from depthmap_tpu.ops.polylines import \
+            fill_naive_interpolating_native
+        derived, filled = _warp_jit(image, nd, float(divergence_px),
+                                    float(separation_px), float(exponent))
+        out = fill_naive_interpolating_native(
+            np.asarray(derived), np.asarray(filled))
+        if out is not None:
+            return out.astype(np.asarray(image).dtype)
+        # no native lib/compiler: single-pass device approximation
+        return apply_stereo_divergence_naive(
+            image, nd, divergence_px, separation_px, exponent,
+            fill_technique)
+    if fill_technique in ("none", "naive"):
         return apply_stereo_divergence_naive(
             image, nd, divergence_px, separation_px, exponent, fill_technique)
     if fill_technique in ("polylines_soft", "polylines_sharp"):
         import os
-        if os.environ.get("DEPTHMAP_POLYLINES_TPU") == "1" and \
-                jax.default_backend() in ("tpu",):
+        from depthmap_tpu.models.attention import _on_tpu
+        if os.environ.get("DEPTHMAP_POLYLINES_TPU") == "1" and _on_tpu():
             # Experimental XLA sort/scan rasterizer (ops/polylines_tpu.py).
             # Measured on v5e: the exact algorithm is bound by
             # data-dependent gathers (~11 ns/element on TPU), ending up
@@ -297,8 +323,10 @@ def create_stereoimages(original_image, depthmap, divergence, separation=0.0,
     balance = (stereo_balance + 1) / 2
     make_left = balance >= 0.001
     make_right = balance <= 0.999
-    if fill_technique in ("none", "naive", "naive_interpolating"):
+    if fill_technique in ("none", "naive"):
         # fused path: both eyes in a single compiled call
+        # (naive_interpolating goes through apply_stereo_divergence below so
+        # the exact sequential host fill applies)
         nd = normalize_depth(depthmap)
         w = original_image.shape[1]
         left_eye, right_eye = _stereo_pair(

@@ -30,14 +30,19 @@ _ROW_PARALLEL = re.compile(r"(proj|fc2)$")
 
 
 def param_pspec(path: str, value) -> P:
-    """PartitionSpec for one parameter, keyed by its flax path."""
+    """PartitionSpec for one parameter, keyed by its flax path.
+
+    Only 2-D Dense kernels take the Megatron splits: PatchEmbed's conv is
+    also named "proj", and row-sharding a (kh, kw, cin, cout) conv kernel
+    would split the spatial axis (halo collectives every forward, and a cap
+    of model_parallel <= kh)."""
     ndim = np.ndim(value)
     parts = path.split("/")
     owner = parts[-2] if len(parts) >= 2 else ""
-    if ndim >= 2 and _COL_PARALLEL.search(owner):
-        return P(*([None] * (ndim - 1) + ["model"]))
-    if ndim >= 2 and _ROW_PARALLEL.search(owner):
-        return P(*(["model"] + [None] * (ndim - 1)))
+    if ndim == 2 and _COL_PARALLEL.search(owner):
+        return P(None, "model")
+    if ndim == 2 and _ROW_PARALLEL.search(owner):
+        return P("model", None)
     return P()
 
 

@@ -21,9 +21,10 @@ from depthmap_tpu.parallel.mesh import tree_pspecs
 
 def silog_loss(pred: jax.Array, target: jax.Array, beta: float = 0.15,
                eps: float = 1e-6) -> jax.Array:
-    """Scale-invariant log loss (reference dzoedepth/trainers/loss.py:42)."""
+    """Scale-invariant log loss (reference dzoedepth/trainers/loss.py:42).
+    torch.var defaults to the unbiased (ddof=1) estimator — match it."""
     g = jnp.log(pred + eps) - jnp.log(target + eps)
-    dg = jnp.var(g) + beta * jnp.mean(g) ** 2
+    dg = jnp.var(g, ddof=1) + beta * jnp.mean(g) ** 2
     return 10.0 * jnp.sqrt(dg)
 
 

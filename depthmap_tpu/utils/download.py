@@ -143,17 +143,24 @@ def ensure_file_downloaded(filename: str,
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     last_err: Optional[Exception] = None
     for u in urls:
+        tmp_name = None
         try:
             with tempfile.NamedTemporaryFile(delete=False) as tmp:
+                tmp_name = tmp.name
                 with urllib.request.urlopen(u, timeout=60) as r:
                     shutil.copyfileobj(r, tmp)
-            if sha256_prefix_ok(tmp.name, sha256_hash_prefix):
-                shutil.move(tmp.name, filename)
+            if sha256_prefix_ok(tmp_name, sha256_hash_prefix):
+                shutil.move(tmp_name, filename)
                 return filename
-            os.unlink(tmp.name)
             last_err = ValueError(f"sha256 mismatch for {u}")
         except Exception as e:  # network failure -> next mirror
             last_err = e
+        # never leave a partial multi-GB temp file behind per failed mirror
+        if tmp_name is not None and os.path.exists(tmp_name):
+            try:
+                os.unlink(tmp_name)
+            except OSError:
+                pass
     raise RuntimeError(
         f"Could not download {filename!r} from any mirror "
         f"({len(urls)} tried); last error: {last_err}")

@@ -27,22 +27,29 @@ def stereo_warp_naive(image, normalized_depth, divergence_px, separation_px,
                 filled[row * w + col_d] = 1
 
     if fill == "naive_interpolating":
+        # canonical semantics = the reference's production numba path:
+        # channel sums accumulate in int64 (numba promotes builtin sum) so
+        # there is NO uint8 wraparound; the sweep mutates in place, so a
+        # just-written exact-black pixel is re-processed (re-entry)
+        def csum(px):
+            return int(np.asarray(px, np.int64).sum())
+
         for row in range(h):
             for l_pointer in range(w):
-                if sum(derived[row][l_pointer]) != 0 or filled[row * w + l_pointer]:
+                if csum(derived[row][l_pointer]) != 0 or filled[row * w + l_pointer]:
                     continue
-                l_border = derived[row][l_pointer - 1] if l_pointer > 0 \
+                l_border = derived[row][l_pointer - 1].copy() if l_pointer > 0 \
                     else np.zeros(3, dtype=np.uint8)
                 r_border = np.zeros(3, dtype=np.uint8)
                 r_pointer = l_pointer + 1
                 while r_pointer < w:
-                    if sum(derived[row][r_pointer]) != 0 and filled[row * w + r_pointer]:
-                        r_border = derived[row][r_pointer]
+                    if csum(derived[row][r_pointer]) != 0 and filled[row * w + r_pointer]:
+                        r_border = derived[row][r_pointer].copy()
                         break
                     r_pointer += 1
-                if sum(l_border) == 0:
+                if csum(l_border) == 0:
                     l_border = r_border
-                elif sum(r_border) == 0:
+                elif csum(r_border) == 0:
                     r_border = l_border
                 total_steps = 1 + r_pointer - l_pointer
                 step = (r_border.astype(np.float64) - l_border) / total_steps

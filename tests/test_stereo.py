@@ -80,3 +80,44 @@ def test_balance_extremes(rng):
                                      stereo_balance=-1.0,
                                      fill_technique="naive")
     np.testing.assert_array_equal(res[0], img)
+
+
+@pytest.mark.parametrize("div", [4.0, -6.0])
+def test_native_interpolating_fill_exact_adversarial(rng, div):
+    """The exact sequential host fill must match the canonical numba-path
+    oracle bit-for-bit even on adversarial near-black images, where the
+    in-place sweep RE-PROCESSES just-written exact-black pixels (re-entrant
+    semantics a single vectorized pass cannot reproduce)."""
+    from depthmap_tpu.ops.polylines import fill_naive_interpolating_native
+    for trial in range(40):
+        h, w = 8, 48
+        # tiny channel values make interpolated exact-black pixels likely
+        img = (rng.random((h, w, 3)) * 3).astype(np.uint8)
+        nd = rng.random((h, w))
+        div_px = div / 100.0 * w * 10
+        want = oracles.stereo_warp_naive(img, nd, div_px, 0.0, 1.0,
+                                         "naive_interpolating")
+        derived, filled = stereo._warp_jit(
+            jnp.asarray(img), jnp.asarray(nd, jnp.float32),
+            float(div_px), 0.0, 1.0)
+        got = fill_naive_interpolating_native(np.asarray(derived),
+                                              np.asarray(filled))
+        if got is None:
+            pytest.skip("native lib unavailable")
+        np.testing.assert_array_equal(got, want)
+
+
+def test_host_interpolating_path_fuzz(rng):
+    """Public apply_stereo_divergence with naive_interpolating (device warp
+    + exact host fill) vs the oracle over random natural images."""
+    for trial in range(25):
+        img = (rng.random((10, 40, 3)) * 255).astype(np.uint8)
+        d16 = (rng.random((10, 40)) * 65535).astype(np.uint16)
+        nd = np.asarray(stereo.normalize_depth(jnp.asarray(d16)))
+        div = float(rng.uniform(-8, 8))
+        div_px = div / 100.0 * 40
+        got = np.asarray(stereo.apply_stereo_divergence(
+            img, d16, div, 0.0, 1.0, "naive_interpolating"))
+        want = oracles.stereo_warp_naive(img, nd, div_px, 0.0, 1.0,
+                                         "naive_interpolating")
+        np.testing.assert_array_equal(got, want)
