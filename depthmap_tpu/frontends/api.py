@@ -66,11 +66,8 @@ def handle_generate(payload: dict) -> dict:
     for _count, _type, result in core_generation_funnel(
             outpath, pil_images, None, None, options):
         if isinstance(result, Image.Image):
-            if result.mode.startswith("I"):
-                # PNG-16 encodes fine; keep 16-bit depth
-                results.append(encode_pil_to_base64(result))
-            else:
-                results.append(encode_pil_to_base64(result))
+            # PNG encoding preserves I;16 depth maps as true 16-bit
+            results.append(encode_pil_to_base64(result))
     return {"images": results, "info": "Success"}
 
 

@@ -124,8 +124,9 @@ def collect_inputs(paths: List[str]) -> List[str]:
 
 def save_result(outpath: str, basename: str, output_type: str, result):
     os.makedirs(outpath, exist_ok=True)
-    if output_type == "simple_mesh":
-        return result  # already a saved path
+    if output_type in ("simple_mesh", "inpainted_mesh") or \
+            isinstance(result, str):
+        return result  # already a saved path (mesh/video outputs)
     suffix = {"depth": "depth", "concat_depth": "concat_depth",
               "normalmap": "normal", "heatmap": "heatmap"}.get(
                   output_type, output_type)

@@ -401,21 +401,27 @@ def run_generate(named: Dict[str, Any], outpath: Optional[str] = None):
             return [], None, None, \
                 "Please pick different directories for batch processing."
         exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp", ".tiff", ".tif"}
-        files = sorted(p for p in Path(indir).iterdir()
-                       if p.suffix.lower() in exts)
-        for p in files:
-            inputimages.append(Image.open(p))
-            inputnames.append(p.stem)
-            dm = None
-            if named.get("depthmap_batch_reuse", True):
-                # reuse (edited/custom) depthmaps in the output dir
-                for cand in (f"{p.stem}-0000.png", f"{p.stem}.png", p.name):
-                    cp = os.path.join(outpath, cand)
-                    if os.path.isfile(cp):
-                        dm = Image.open(cp)
-                        print(f"Using custom depthmap {cp} for {p.name}")
-                        break
-            inputdepthmaps.append(dm)
+        try:
+            files = sorted(p for p in Path(indir).iterdir()
+                           if p.suffix.lower() in exts)
+            for p in files:
+                inputimages.append(Image.open(p))
+                inputnames.append(p.stem)
+                dm = None
+                if named.get("depthmap_batch_reuse", True):
+                    # reuse (edited/custom) depthmaps in the output dir
+                    for cand in (f"{p.stem}-0000.png", f"{p.stem}.png",
+                                 p.name):
+                        cp = os.path.join(outpath, cand)
+                        if os.path.isfile(cp):
+                            dm = Image.open(cp)
+                            print(f"Using custom depthmap {cp} for {p.name}")
+                            break
+                inputdepthmaps.append(dm)
+        except Exception as e:
+            # a typo'd directory or unreadable file must surface as the
+            # formatted error, not a bare Gradio toast
+            return [], None, None, format_exception(e)
         print(f"{len(inputimages)} images will be processed")
     else:
         return [], None, None, f"Unknown mode {mode!r}"

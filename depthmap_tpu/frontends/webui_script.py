@@ -106,7 +106,8 @@ class DepthmapScriptLogic:
                 continue
             inputimages.append(processed.images[count])
 
-        ops = {"boost_rmax": get_opt("depthmap_script_boost_rmax", 1600),
+        ops = {"keepmodels": get_opt("depthmap_script_keepmodels", True),
+               "boost_rmax": get_opt("depthmap_script_boost_rmax", 1600),
                "marigold_ensembles": get_opt(
                    "depthmap_script_marigold_ensembles", 5),
                "marigold_steps": get_opt("depthmap_script_marigold_steps",

@@ -121,12 +121,19 @@ def load_inpaint_nets(weights_dir: str = "./models/3dphoto"):
     import os
     import torch
     out = {}
-    files = {"edge": ("edge_model.pth", convert_edge_net),
-             "depth": ("depth_model.pth", convert_depth_inpaint),
-             "color": ("color_model.pth", convert_color_inpaint)}
-    for key, (fn, converter) in files.items():
-        path = os.path.join(weights_dir, fn)
-        if not os.path.exists(path):
+    # accept both the upstream 3d-photo-inpainting release names
+    # (edge-model.pth) and underscore variants
+    files = {"edge": (("edge-model.pth", "edge_model.pth"),
+                      convert_edge_net),
+             "depth": (("depth-model.pth", "depth_model.pth"),
+                       convert_depth_inpaint),
+             "color": (("color-model.pth", "color_model.pth"),
+                       convert_color_inpaint)}
+    for key, (names, converter) in files.items():
+        path = next((p for p in
+                     (os.path.join(weights_dir, n) for n in names)
+                     if os.path.exists(p)), None)
+        if path is None:
             out[key] = None
             continue
         sd = SDict(torch.load(path, map_location="cpu", weights_only=True))

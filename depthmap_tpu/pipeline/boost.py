@@ -297,15 +297,28 @@ class BoostEngine:
         self._merge = jax.jit(self.p2p.apply)
 
         cfg = predictor.bundle.preprocess
+        if self.model_type in range(1, 7):
+            # reference quirk kept: Boost routes ALL midas-family nets
+            # (types 1-6, BEiT/DPT included) through estimatemidasBoost,
+            # which normalizes with ImageNet stats + upper_bound resize
+            # (depthmap_generation.py:1180-1196) — NOT the per-family
+            # 0.5/0.5 stats the normal estimate path uses
+            import dataclasses
+            from depthmap_tpu.pipeline.preprocess import (IMAGENET_MEAN,
+                                                          IMAGENET_STD)
+            cfg = dataclasses.replace(cfg, mean=IMAGENET_MEAN,
+                                      std=IMAGENET_STD,
+                                      resize_mode="upper_bound")
+        self._boost_cfg = cfg
         mean = jnp.asarray(cfg.mean, jnp.float32)
         std = jnp.asarray(cfg.std, jnp.float32)
         swap = cfg.swap_channels
 
         @jax.jit
         def _prep_dev(x):
-            """Device-side per-family normalization of raw RGB crops
-            (the resize half of preprocess_image already happened in
-            _crop_resize_batch; square crops make upper_bound == squash)."""
+            """Device-side Boost normalization of raw RGB crops (the resize
+            half of the transform already happened in _crop_resize_batch;
+            square crops make upper_bound == squash)."""
             if swap:
                 x = x[..., ::-1]
             return (x - mean) / std
@@ -350,8 +363,15 @@ class BoostEngine:
         if self.model_type == 10:
             d = pred.predict(img, msize, msize)
             return self._upsample_to_p(jnp.asarray(d)[None])
-        mode = "upper_bound" if self.model_type in range(1, 7) else None
-        x = pred._prep(img, msize, msize, mode)
+        if pred.bundle.prep_in_model:
+            x = pred._prep(img, msize, msize, None)
+        else:
+            # estimatemidasBoost transform for types 1-6 (ImageNet stats +
+            # upper_bound) is baked into _boost_cfg; other families keep
+            # their own cfg
+            from depthmap_tpu.pipeline.preprocess import preprocess_image
+            x = preprocess_image(np.asarray(img, np.float32), msize, msize,
+                                 self._boost_cfg)
         net_size = (msize, msize) if pred.bundle.prep_in_model else None
         out = pred._apply(jnp.asarray(x), PIX2PIX_SIZE, PIX2PIX_SIZE,
                           net_size)

@@ -53,6 +53,13 @@ class PredictorCache:
             self._boost = None
         return self._predictor
 
+    def release(self):
+        """Drop model references so device buffers free (the reference's
+        unload path, core.py:330-336, gated by the keepmodels option)."""
+        self._predictor = None
+        self._boost = None
+        self._kw = None
+
     def get_boost(self, model_type, weights_dir: str = "./models", **kw):
         from depthmap_tpu.pipeline.boost import BoostEngine
         predictor = self.get(model_type, **kw)
@@ -314,6 +321,13 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
             yield 0, "inpainted_mesh", mesh_fi
         except Exception as e:
             print(f"{e}, some issue with generating inpainted mesh")
+
+    # reference unload semantics (core.py:330-336): keepmodels keeps the
+    # model resident between runs (the standalone fallback default, matching
+    # backbone.get_opt('...keepmodels', True)); WebUI's registered panel
+    # default is False and frees accelerator memory for SD
+    if not bool(ops.get("keepmodels", True)):
+        cache.release()
 
 
 def _as_pil(image):

@@ -315,34 +315,6 @@ class DepthPredictor:
             return jax.device_put(jnp.asarray(xs), sharding)
         return jnp.asarray(xs)
 
-    def predict_batch_list(self, imgs01: list, net_w: int, net_h: int,
-                           out_size: Tuple[int, int],
-                           resize_mode: Optional[str] = None,
-                           chunk: int = 8) -> np.ndarray:
-        """Batch differently-sized images whose *preprocessed* shapes agree
-        (e.g. square Boost patches): each is preprocessed to the net size,
-        run as one stacked forward, and upsampled on-device straight to
-        ``out_size``.  Returns (N, out_h, out_w)."""
-        xs = [self._prep(np.asarray(f, np.float32), net_w, net_h, resize_mode)
-              for f in imgs01]
-        shapes = {x.shape for x in xs}
-        assert len(shapes) == 1, f"inconsistent preprocessed shapes {shapes}"
-        xs = np.concatenate(xs, axis=0)
-        outs = []
-        for i in range(0, xs.shape[0], chunk):
-            blk = xs[i:i + chunk]
-            n = blk.shape[0]
-            if n < chunk:
-                # pad ragged tail to the full chunk: one compiled batch shape
-                # total, instead of a fresh XLA program per distinct tail
-                # size (each compile costs tens of seconds on TPU)
-                blk = np.concatenate(
-                    [blk, np.repeat(blk[-1:], chunk - n, axis=0)], axis=0)
-            out = np.asarray(self._apply(jnp.asarray(blk),
-                                         out_size[0], out_size[1]))
-            outs.append(out[:n])
-        return np.concatenate(outs, axis=0)
-
     @property
     def raw_prediction_invert(self) -> bool:
         """True when near objects have *small* raw values

@@ -63,7 +63,6 @@ def _weighted_median_filter(depth, discontinuity, window_size: int):
     cp = jnp.pad(discontinuity, mid, mode="edge")
     h, w = depth.shape
     # (H, W, K*K) patches
-    idx = jnp.arange(window_size)
     patches = jnp.stack([
         jax.lax.dynamic_slice(dp, (dy, dx), (h, w))
         for dy in range(window_size) for dx in range(window_size)], axis=-1)
@@ -395,14 +394,12 @@ def build_ldi(img: np.ndarray, depth: np.ndarray, int_mtx: np.ndarray,
     cell_cut = np.zeros((H - 1, W - 1), bool)
     cell_cut |= dh[:-1, :] | dh[1:, :]
     cell_cut |= dv[:, :-1] | dv[:, 1:]
-    fg_map = fg_index.copy()
-    faces_map = fg_map.copy()
     # temporarily mark cut cells by dropping one corner: easier — build faces
     # from the full grid, then filter by cell mask
-    tl = fg_map[:-1, :-1]
-    tr = fg_map[:-1, 1:]
-    bl = fg_map[1:, :-1]
-    br = fg_map[1:, 1:]
+    tl = fg_index[:-1, :-1]
+    tr = fg_index[:-1, 1:]
+    bl = fg_index[1:, :-1]
+    br = fg_index[1:, 1:]
     keep = ~cell_cut
     f1 = np.stack([tl[keep], bl[keep], tr[keep]], axis=1)
     f2 = np.stack([br[keep], tr[keep], bl[keep]], axis=1)

@@ -276,7 +276,7 @@ def _predict_video_depths(input_images, inp, predictor_cache,
     marigold = resolve_model_type(inp_.model_type) == 10
     if len(sizes) == 1 and not inp_.boost and not marigold:
         cache = predictor_cache or PredictorCache()
-        predictor = cache.get(inp_.model_type)
+        predictor = cache.get(inp_.model_type, tiling_mode=inp_.tiling_mode)
         w, h = input_images[0].size
         if inp_.net_size_match:
             net_w, net_h = (w + 31) // 32 * 32, (h + 31) // 32 * 32

@@ -93,28 +93,6 @@ def test_funnel_depth_anything_v2_small(rng, tmp_path):
     assert results[0][2].size == (80, 60)
 
 
-def test_predict_batch_list_matches_predict(rng):
-    """Heterogeneous-size images batched through one stacked forward must
-    match per-image predict; the ragged tail (n=3 < chunk) exercises the
-    pad-to-chunk path (padding must not change kept rows — all nets are
-    batch-independent at inference)."""
-    from depthmap_tpu.pipeline.depth import DepthPredictor
-    pred = DepthPredictor(6, compute_dtype="float32")  # exactness, not speed
-    imgs = [rng.random((48, 48, 3)).astype("float32"),
-            rng.random((64, 64, 3)).astype("float32"),
-            rng.random((50, 50, 3)).astype("float32")]
-    batched = pred.predict_batch_list(imgs, 64, 64, (40, 56),
-                                      resize_mode="upper_bound")
-    assert batched.shape == (3, 40, 56)
-    import numpy as np
-    for i, im in enumerate(imgs):
-        x = pred._prep(im, 64, 64, "upper_bound")
-        single = np.asarray(pred._apply(
-            __import__("jax.numpy", fromlist=["asarray"]).asarray(x),
-            40, 56))[0]
-        assert np.allclose(batched[i], single, atol=1e-5)
-
-
 def test_funnel_ops_plumbing(rng, tmp_path):
     """Environment-level settings (reference backbone.gather_ops) must reach
     the engines: boost_rmax -> BoostEngine.estimate's whole_size_threshold,
