@@ -112,3 +112,28 @@ def test_single_infer_per_member_keys_differ():
     noise = captured["first_in"]
     assert not np.allclose(noise[0], noise[1])
     assert not np.allclose(noise[1], noise[2])
+
+
+def test_ddim_schedule_matches_sd2_config():
+    """DDIM timesteps/alphas must follow the SD2/Marigold scheduler config:
+    steps_offset=1 shifts every UNet query timestep, and
+    set_alpha_to_one=False makes the final step use alphas_cumprod[0]
+    (diffusers DDIMScheduler semantics)."""
+    import numpy as np
+    from depthmap_tpu.models.marigold.ddim import DDIMScheduler
+    s = DDIMScheduler()
+    ts = s.set_timesteps(10)
+    # diffusers: (arange(10) * (1000//10)).round()[::-1] + steps_offset
+    expect = (np.arange(0, 10) * 100)[::-1] + 1
+    np.testing.assert_array_equal(ts, expect)
+    assert ts[-1] == 1 and ts[0] == 901
+    # final step: prev_t = 1 - 100 < 0 -> final_alpha_cumprod, not 1.0
+    assert s.final_alpha_cumprod == s.alphas_cumprod[0]
+    prev, x0 = s.step(np.zeros((1, 2, 2, 4)), int(ts[-1]),
+                      np.ones((1, 2, 2, 4)))
+    a_prev = s.alphas_cumprod[0]
+    # v-pred with v=0: x0 = sqrt(a_t)*x, eps = sqrt(1-a_t)*x
+    a_t = s.alphas_cumprod[1]
+    want = (np.sqrt(a_prev) * np.sqrt(a_t) +
+            np.sqrt(1 - a_prev) * np.sqrt(1 - a_t))
+    np.testing.assert_allclose(prev, want, rtol=1e-6)
