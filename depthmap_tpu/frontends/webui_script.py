@@ -106,7 +106,13 @@ class DepthmapScriptLogic:
                 continue
             inputimages.append(processed.images[count])
 
+        # cmd_opts.no_half is WebUI's global precision flag
+        # (reference backbone.gather_ops falls back to cmd opts, :39-44)
+        no_half = bool(getattr(getattr(shared, "cmd_opts", None),
+                               "no_half", False)) if WEBUI_AVAILABLE \
+            else False
         ops = {"keepmodels": get_opt("depthmap_script_keepmodels", True),
+               "no_half": no_half,
                "boost_rmax": get_opt("depthmap_script_boost_rmax", 1600),
                "marigold_ensembles": get_opt(
                    "depthmap_script_marigold_ensembles", 5),

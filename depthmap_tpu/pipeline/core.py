@@ -159,6 +159,11 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
         "marigold_ensembles": int(ops.get("marigold_ensembles", 5)),
         "marigold_steps": int(ops.get("marigold_steps", 12)),
     }
+    if ops.get("no_half"):
+        # reference no_half forces full precision everywhere
+        # (backbone.py:134, depthmap_generation.py:262); here it overrides
+        # the per-model bf16 policy
+        predictor_kw["compute_dtype"] = "float32"
 
     background_removed_images = []
     if inp.gen_rembg:

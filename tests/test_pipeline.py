@@ -120,3 +120,15 @@ def test_funnel_ops_plumbing(rng, tmp_path):
     assert seen["rmax"] == 320
     assert seen["kw"]["marigold_steps"] == 7
     assert results[0][1] == "depth"
+
+
+def test_funnel_no_half_forces_f32(rng, tmp_path):
+    """The reference's no_half op must override the per-model bf16 policy."""
+    import jax.numpy as jnp
+    from depthmap_tpu.pipeline.core import PredictorCache
+    cache = PredictorCache()
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64)
+    list(core_generation_funnel(str(tmp_path), [_img(rng)], None, ["a"],
+                                inp, ops={"no_half": True},
+                                predictor_cache=cache))
+    assert cache._predictor.compute_dtype == jnp.dtype("float32")
