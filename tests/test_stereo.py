@@ -121,3 +121,24 @@ def test_host_interpolating_path_fuzz(rng):
         want = oracles.stereo_warp_naive(img, nd, div_px, 0.0, 1.0,
                                          "naive_interpolating")
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("fill", ["none", "naive"])
+def test_warp_naive_fuzz(rng, fill):
+    """Broad fuzz of the device warp + naive fill against the oracle:
+    random sizes, divergences (incl. negative), separations, exponents."""
+    for trial in range(25):
+        h = int(rng.integers(4, 16))
+        w = int(rng.integers(16, 48))
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        nd = rng.random((h, w))
+        div_px = float(rng.uniform(-8, 8))
+        sep_px = float(rng.choice([0.0, rng.uniform(-2, 2)]))
+        expo = float(rng.choice([1.0, 2.0]))
+        got = np.asarray(stereo.apply_stereo_divergence_naive(
+            jnp.asarray(img), jnp.asarray(nd, jnp.float32),
+            div_px, sep_px, expo, fill))
+        want = oracles.stereo_warp_naive(img, nd, div_px, sep_px, expo, fill)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"trial={trial} h={h} w={w} div={div_px} "
+                               f"sep={sep_px} exp={expo}")
