@@ -69,3 +69,18 @@ def test_boost_estimate_end_to_end(rng):
     assert out.shape == (96, 128)
     assert np.isfinite(out).all()
     assert out.min() >= -0.5 and out.max() <= 1.5
+
+
+@pytest.mark.slow
+def test_boost_estimate_depth_anything_v2(rng):
+    """Device-chain Boost over a DA2 (DINOv2, mult-of-14) family model:
+    crops at rf/2rf must hit legal patch grids and the ladder stays
+    14-aligned."""
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+    pred = DepthPredictor(12)       # depth_anything_v2_small
+    eng = B.BoostEngine(pred)
+    eng.rf = 112       # shrink (multiple of 14, >= 64 for the R_x search)
+    img = rng.random((84, 112, 3)).astype(np.float32)
+    out = eng.estimate(img, whole_size_threshold=224)
+    assert out.shape == (84, 112)
+    assert np.isfinite(out).all()
