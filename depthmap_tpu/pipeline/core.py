@@ -249,7 +249,9 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
             else:
                 out = np.zeros(raw_prediction.shape)
 
-        img_output = np.asarray(numerics.convert_to_i16(jnp.asarray(
+        # np.array (writable copy): the rembg mask below mutates in place,
+        # and np.asarray over a jax array is read-only
+        img_output = np.array(numerics.convert_to_i16(jnp.asarray(
             np.clip(out, 0, 1))))
 
         if inp.gen_inpainted_mesh:
@@ -261,7 +263,9 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                 background_mask, foreground_mask_image)
             bri = background_removed_images[count]
             bg_mask = background_mask(bri)
-            img_output = img_output.copy()
+            # in-place like the reference (core.py:226): the depth stored
+            # for the 3D-inpainted mesh above is the SAME array, so the
+            # mask deliberately propagates into the mesh pass
             img_output[bg_mask] = 0  # far value
             yield count, "background_removed", bri
             if inp.save_background_removal_masks:

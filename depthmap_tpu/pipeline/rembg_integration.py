@@ -46,6 +46,7 @@ def background_mask(background_removed_image: Image.Image) -> np.ndarray:
 
 def foreground_mask_image(bg_mask: np.ndarray) -> Image.Image:
     """SAVE_BACKGROUND_REMOVAL_MASKS output (reference core.py:231-236)."""
-    bg_array = (1 - bg_mask.astype("int8")) * 255
+    # wider dtype: numpy 2 (NEP 50) raises OverflowError on int8 * 255
+    bg_array = (1 - bg_mask.astype("int16")) * 255
     mask_array = np.stack([bg_array] * 4, axis=2)
     return Image.fromarray(mask_array.astype(np.uint8))

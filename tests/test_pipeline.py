@@ -132,3 +132,32 @@ def test_funnel_no_half_forces_f32(rng, tmp_path):
                                 inp, ops={"no_half": True},
                                 predictor_cache=cache))
     assert cache._predictor.compute_dtype == jnp.dtype("float32")
+
+
+def test_funnel_rembg_mask_semantics(rng, tmp_path, monkeypatch):
+    """Background pixels (pure black, alpha<=0.2 in the rembg output) force
+    depth to 0/far IN PLACE — the same array already stored for the 3D
+    mesh pass, matching the reference's aliasing (core.py:215-226)."""
+    from depthmap_tpu.pipeline import rembg_integration as R
+    h, w = 64, 80
+
+    def fake_removal(images, model):
+        out = []
+        for im in images:
+            a = np.asarray(im.convert("RGBA")).copy()
+            a[: h // 2] = [0, 0, 0, 0]      # top half = removed background
+            out.append(Image.fromarray(a))
+        return out
+
+    monkeypatch.setattr(R, "rembg_available", lambda: True)
+    monkeypatch.setattr(R, "batched_background_removal", fake_removal)
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64,
+                            gen_rembg=True,
+                            save_background_removal_masks=True)
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng)], None, ["a"], inp))
+    types = [t for _, t, _ in results]
+    assert "background_removed" in types and "foreground_mask" in types
+    depth = np.asarray([r for _, t, r in results if t == "depth"][0])
+    assert (depth[: h // 2] == 0).all()       # masked to far
+    assert depth[h // 2:].max() > 0
