@@ -164,6 +164,10 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
         # (backbone.py:134, depthmap_generation.py:262); here it overrides
         # the per-model bf16 policy
         predictor_kw["compute_dtype"] = "float32"
+    if str(getattr(inp, "compute_device", "GPU")).upper() == "CPU":
+        # the funnel's device selector (reference core.py:113-121):
+        # CPU forces host compute
+        predictor_kw["device"] = "cpu"
 
     background_removed_images = []
     if inp.gen_rembg:

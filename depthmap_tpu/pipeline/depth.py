@@ -48,8 +48,19 @@ class DepthPredictor:
     def __init__(self, model_type, params: Optional[Any] = None,
                  weights_dir: str = "./models", seed: int = 0,
                  compute_dtype=None, tiling_mode: bool = False,
-                 marigold_ensembles: int = 5, marigold_steps: int = 12):
+                 marigold_ensembles: int = 5, marigold_steps: int = 12,
+                 device: Optional[str] = None):
         from depthmap_tpu.models.layers import set_tiling_mode
+        # device: None = the default accelerator; "cpu" = force host compute
+        # (the funnel's GPU/CPU selector, reference core.py:113-121)
+        self._device = None
+        if device is not None:
+            platform = str(device).lower()
+            try:
+                self._device = jax.devices(platform)[0]
+            except RuntimeError:
+                print(f"compute device {device!r} unavailable; "
+                      "using the default backend")
         self.model_type = resolve_model_type(model_type)
         self.spec = MODELS[self.model_type]
         self.tiling_mode = tiling_mode
@@ -83,8 +94,17 @@ class DepthPredictor:
                 return a.astype(dt)
             return a
 
-        self.variables = jax.jit(
-            lambda tree: jax.tree.map(_cast, tree))(params)
+        with self._device_scope():
+            self.variables = jax.jit(
+                lambda tree: jax.tree.map(_cast, tree))(params)
+
+    def _device_scope(self):
+        """Context placing dispatches on the selected device (no-op for the
+        default accelerator)."""
+        import contextlib
+        if self._device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._device)
 
     # -- init / weights ----------------------------------------------------
     def _random_init(self, seed: int):
@@ -93,7 +113,9 @@ class DepthPredictor:
         # jit the init: un-jitted flax init dispatches op-by-op (thousands of
         # ~ms-latency launches through the TPU tunnel -> minutes of startup);
         # one compiled program brings it to seconds
-        return jax.jit(self.bundle.module.init)(jax.random.PRNGKey(seed), x)
+        with self._device_scope():
+            return jax.jit(self.bundle.module.init)(
+                jax.random.PRNGKey(seed), x)
 
     def _try_load_marigold(self, weights_dir: str):
         """Swap converted SD2/Marigold weights into the pipeline when the
@@ -225,25 +247,29 @@ class DepthPredictor:
     def _apply(self, x, out_h: int, out_w: int,
                net_size: Optional[Tuple[int, int]] = None):
         """Dispatch one compiled forward on preprocessed input `x`."""
-        backbone, _ = self._beit_hoist_info()
-        if backbone is not None:
-            if self.bundle.prep_in_model:
-                # ZoeDepth resizes internally; its net input size is a pure
-                # function of static shapes (ZoeDepthInference.net_input_size)
-                m = self.bundle.module
-                nh, nw = m.net_input_size(x.shape[1], x.shape[2], net_size,
-                                          m.img_size)
-                grid = (nh // backbone.patch_size, nw // backbone.patch_size)
-            else:
-                grid = (x.shape[1] // backbone.patch_size,
-                        x.shape[2] // backbone.patch_size)
-            if self._bias_hoist_ok(grid):
-                run = self._forward_fn(out_h, out_w, net_size, hoist=True)
-                return run(self.variables, x, self._rel_biases(grid))
+        with self._device_scope():
+            backbone, _ = self._beit_hoist_info()
+            if backbone is not None:
+                if self.bundle.prep_in_model:
+                    # ZoeDepth resizes internally; its net input size is a
+                    # pure function of static shapes
+                    # (ZoeDepthInference.net_input_size)
+                    m = self.bundle.module
+                    nh, nw = m.net_input_size(x.shape[1], x.shape[2],
+                                              net_size, m.img_size)
+                    grid = (nh // backbone.patch_size,
+                            nw // backbone.patch_size)
+                else:
+                    grid = (x.shape[1] // backbone.patch_size,
+                            x.shape[2] // backbone.patch_size)
+                if self._bias_hoist_ok(grid):
+                    run = self._forward_fn(out_h, out_w, net_size,
+                                           hoist=True)
+                    return run(self.variables, x, self._rel_biases(grid))
+                run = self._forward_fn(out_h, out_w, net_size, hoist=False)
+                return run(self.variables, x)
             run = self._forward_fn(out_h, out_w, net_size, hoist=False)
             return run(self.variables, x)
-        run = self._forward_fn(out_h, out_w, net_size, hoist=False)
-        return run(self.variables, x)
 
     def _prep(self, img01: np.ndarray, net_w: int, net_h: int,
               resize_mode: Optional[str] = None) -> np.ndarray:

@@ -161,3 +161,18 @@ def test_funnel_rembg_mask_semantics(rng, tmp_path, monkeypatch):
     depth = np.asarray([r for _, t, r in results if t == "depth"][0])
     assert (depth[: h // 2] == 0).all()       # masked to far
     assert depth[h // 2:].max() > 0
+
+
+def test_funnel_compute_device_cpu(rng, tmp_path):
+    """compute_device='CPU' must place prediction on the host backend
+    (reference core.py:113-121 device selector)."""
+    from depthmap_tpu.pipeline.core import PredictorCache
+    cache = PredictorCache()
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64,
+                            compute_device="CPU")
+    results = list(core_generation_funnel(
+        str(tmp_path), [_img(rng)], None, ["a"], inp,
+        predictor_cache=cache))
+    assert results[0][1] == "depth"
+    assert cache._predictor._device is not None
+    assert cache._predictor._device.platform == "cpu"
