@@ -153,8 +153,24 @@ class Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"detail": "Not Found"})
 
+    # Largest accepted request body.  The reference (FastAPI behind the
+    # WebUI) effectively serializes on a GPU lock; this stdlib server is
+    # single-threaded, so an unbounded Content-Length would let one
+    # malformed POST pin the process on a multi-GB read.  256 MB covers
+    # base64 batches of many 4K frames.
+    MAX_BODY_BYTES = 256 << 20
+
     def do_POST(self):
-        length = int(self.headers.get("Content-Length", 0))
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._send(400, {"detail": "Invalid Content-Length"})
+            return
+        if length < 0 or length > self.MAX_BODY_BYTES:
+            self._send(413, {"detail":
+                             f"Request body over {self.MAX_BODY_BYTES} "
+                             "bytes"})
+            return
         try:
             payload = json.loads(self.rfile.read(length) or b"{}")
         except json.JSONDecodeError:

@@ -66,11 +66,17 @@ def build_model(model_type, tiling_mode: bool = False) -> ModelBundle:
 
     if mt in (12, 13, 14):  # Depth Anything v2
         from depthmap_tpu.models.depth_anything import build_depth_anything_v2
+        # swap_channels: the reference DA2 path double-swaps — the funnel
+        # hands BGR floats (depthmap_generation.py:381), estimate..._v2
+        # converts back to RGB (:550) but image2tensor swaps AGAIN
+        # (ddepth_anything_v2/depth_anything_v2/dpt.py:214) — so the net
+        # sees BGR.  Replicated for whole-pipeline parity
+        # (test_reference_funnel_parity).
         return ModelBundle(
             spec=spec, module=build_depth_anything_v2(spec.variant),
             preprocess=PreprocessCfg(resize_mode="lower_bound",
                                      mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                                     multiple_of=14),
+                                     multiple_of=14, swap_channels=True),
             upsample_mode="bilinear", upsample_align_corners=True)
 
     if mt in (7, 8, 9):  # ZoeDepth (preprocessing handled in-model)

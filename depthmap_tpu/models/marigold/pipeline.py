@@ -116,38 +116,66 @@ class MarigoldPipeline:
         return depth
 
 
-def ensemble_depths(preds: np.ndarray, max_iter: int = 10,
-                    tol: float = 1e-3) -> np.ndarray:
-    """Align affine-invariant predictions by per-member scale/shift that
-    minimize pairwise distances, then average
-    (reference dmarigold/marigold/util/ensemble.py:24-80)."""
+def _lower_median(arr: np.ndarray, axis: int = 0) -> np.ndarray:
+    """torch.median semantics: the LOWER of the two middle values for even
+    counts (np.median averages them)."""
+    n = arr.shape[axis]
+    return np.take(np.sort(arr, axis=axis), (n - 1) // 2, axis=axis)
+
+
+def ensemble_depths(preds: np.ndarray, regularizer_strength: float = 0.02,
+                    max_iter: int = 2, tol: float = 1e-3,
+                    reduction: str = "median",
+                    max_res: Optional[int] = None) -> np.ndarray:
+    """Align affine-invariant predictions by per-member scale/shift, then
+    reduce.  Numerics-exact port of the reference ensemble
+    (dmarigold/marigold/util/ensemble.py:24-119): ONE joint distance term
+    sqrt(mean over all pairs), a near/far [0,1] anchoring regularizer, BFGS
+    with max_iter=2, median reduction (torch lower-median), final [0,1]
+    rescale.  Verified against the reference implementation in
+    tests/test_marigold_oracle.py."""
     from scipy.optimize import minimize
 
-    n = preds.shape[0]
-    orig = preds.copy()
-    mins = orig.reshape(n, -1).min(1)
-    maxs = orig.reshape(n, -1).max(1)
-    s_init = 1.0 / np.clip(maxs - mins, 1e-6, None)
+    orig = np.asarray(preds, np.float32)
+    n = orig.shape[0]
+    imgs = orig
+    if max_res is not None:
+        scale = max_res / max(orig.shape[-2:])
+        if scale < 1:       # nearest-neighbor downscale (torch Upsample)
+            hh = int(orig.shape[-2] * scale)
+            ww = int(orig.shape[-1] * scale)
+            ys = (np.arange(hh) / scale).astype(np.int64)
+            xs = (np.arange(ww) / scale).astype(np.int64)
+            imgs = orig[:, ys][:, :, xs]
+
+    mins = imgs.reshape(n, -1).min(1)
+    maxs = imgs.reshape(n, -1).max(1)
+    s_init = 1.0 / (maxs - mins)
     t_init = -s_init * mins
+    x0 = np.concatenate([s_init, t_init]).astype(np.float64)
 
-    small = np.stack([p[::8, ::8] for p in orig])
+    reduce_fn = _lower_median if reduction == "median" else \
+        functools.partial(np.mean, axis=0)
 
-    def cost(x):
+    def closure(x):
+        x = x.astype(np.float32)
         s, t = x[:n], x[n:]
-        aligned = small * s[:, None, None] + t[:, None, None]
-        c = 0.0
-        for i in range(n):
-            for j in range(i + 1, n):
-                c += np.sqrt(np.mean((aligned[i] - aligned[j]) ** 2))
-        return c
+        arr = imgs * s[:, None, None] + t[:, None, None]
+        dists = np.stack([arr[i] - arr[j]
+                          for i in range(n) for j in range(i + 1, n)])
+        sqrt_dist = np.sqrt(np.mean(dists ** 2))
+        pred = reduce_fn(arr)
+        near_err = np.sqrt((0.0 - pred.min()) ** 2)
+        far_err = np.sqrt((1.0 - pred.max()) ** 2)
+        return float(sqrt_dist + (near_err + far_err) * regularizer_strength)
 
-    res = minimize(cost, np.concatenate([s_init, t_init]),
-                   method="BFGS", tol=tol, options={"maxiter": max_iter})
-    s, t = res.x[:n], res.x[n:]
-    aligned = orig * s[:, None, None] + t[:, None, None]
-    merged = np.mean(aligned, axis=0)
-    lo, hi = merged.min(), merged.max()
-    return (merged - lo) / (hi - lo) if hi > lo else merged * 0
+    res = minimize(closure, x0, method="BFGS", tol=tol,
+                   options={"maxiter": max_iter, "disp": False})
+    x = res.x.astype(np.float32)
+    s, t = x[:n], x[n:]
+    aligned = reduce_fn(orig * s[:, None, None] + t[:, None, None])
+    lo, hi = aligned.min(), aligned.max()
+    return (aligned - lo) / (hi - lo) if hi > lo else aligned * 0
 
 
 def build_marigold_pipeline(variables=None) -> MarigoldPipeline:

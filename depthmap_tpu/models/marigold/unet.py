@@ -76,14 +76,16 @@ class GEGLU(nn.Module):
 
 class TransformerBlock(nn.Module):
     heads: int
+    dim_head: int = 64
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + CrossAttention(self.heads, name="attn1")(
-            nn.LayerNorm(name="norm1")(x))
-        x = x + CrossAttention(self.heads, name="attn2")(
-            nn.LayerNorm(name="norm2")(x), context)
-        h = nn.LayerNorm(name="norm3")(x)
+        # torch nn.LayerNorm default eps (1e-5), not flax's 1e-6
+        x = x + CrossAttention(self.heads, self.dim_head, name="attn1")(
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
+        x = x + CrossAttention(self.heads, self.dim_head, name="attn2")(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         h = GEGLU(x.shape[-1] * 4, name="ff_geglu")(h)
         x = x + nn.Dense(x.shape[-1], name="ff_out")(h)
         return x
@@ -91,6 +93,7 @@ class TransformerBlock(nn.Module):
 
 class SpatialTransformer(nn.Module):
     heads: int
+    dim_head: int = 64
     depth: int = 1
 
     @nn.compact
@@ -101,7 +104,8 @@ class SpatialTransformer(nn.Module):
         x = x.reshape(n, h * w, c)
         x = nn.Dense(c, name="proj_in")(x)   # SD2 uses linear projections
         for i in range(self.depth):
-            x = TransformerBlock(self.heads, name=f"block{i}")(x, context)
+            x = TransformerBlock(self.heads, self.dim_head,
+                                 name=f"block{i}")(x, context)
         x = nn.Dense(c, name="proj_out")(x)
         return res + x.reshape(n, h, w, c)
 
@@ -131,7 +135,7 @@ class MarigoldUNet(nn.Module):
                 h = ResBlock(ch, name=f"down{i}_res{j}")(h, temb)
                 if attn:
                     h = SpatialTransformer(
-                        ch // self.dim_head,
+                        ch // self.dim_head, self.dim_head,
                         name=f"down{i}_attn{j}")(h, context)
                 skips.append(h)
             if i < len(self.mults) - 1:
@@ -141,8 +145,8 @@ class MarigoldUNet(nn.Module):
         # mid
         ch = self.base * self.mults[-1]
         h = ResBlock(ch, name="mid_res0")(h, temb)
-        h = SpatialTransformer(ch // self.dim_head, name="mid_attn")(h,
-                                                                     context)
+        h = SpatialTransformer(ch // self.dim_head, self.dim_head,
+                               name="mid_attn")(h, context)
         h = ResBlock(ch, name="mid_res1")(h, temb)
         # up
         for i, m in reversed(list(enumerate(self.mults))):
@@ -153,7 +157,8 @@ class MarigoldUNet(nn.Module):
                 h = ResBlock(ch, name=f"up{i}_res{j}")(h, temb)
                 if attn:
                     h = SpatialTransformer(
-                        ch // self.dim_head, name=f"up{i}_attn{j}")(h, context)
+                        ch // self.dim_head, self.dim_head,
+                        name=f"up{i}_attn{j}")(h, context)
             if i > 0:
                 n, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (n, hh * 2, ww * 2, cc), "nearest")

@@ -92,10 +92,17 @@ class PredictorCache:
             sd = SDict(torch.load(path, map_location="cpu",
                                   weights_only=True))
             return convert_pix2pix(sd)
-        print("warning: pix2pix merge-net weights not found; Boost runs "
-              "with a random-init merge net (set DEPTHMAP_ALLOW_DOWNLOAD=1 "
-              f"or place latest_net_G.pth under {weights_dir}/pix2pix/)")
-        return None
+        advice = ("pix2pix merge-net weights not found: Boost would merge "
+                  "through a random-init net and emit plausible-looking but "
+                  "wrong depth.  Set DEPTHMAP_ALLOW_DOWNLOAD=1 or place "
+                  f"latest_net_G.pth under {weights_dir}/pix2pix/ "
+                  "(reference download: depthmap_generation.py:288-301).  "
+                  "Set DEPTHMAP_ALLOW_RANDOM_PIX2PIX=1 to run anyway "
+                  "(tests/benchmarks only).")
+        if os.environ.get("DEPTHMAP_ALLOW_RANDOM_PIX2PIX") == "1":
+            print("warning: " + advice)
+            return None
+        raise FileNotFoundError(advice)
 
     def unload(self):
         self._predictor = None

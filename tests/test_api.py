@@ -83,3 +83,19 @@ def test_generate_video_missing_params(server, rng):
         "options": {"model_type": 6, "video_parameters": {}}})
     assert status == 400
     assert "Missing required parameter" in str(body["detail"])
+
+
+def test_oversized_body_rejected(server):
+    """A huge declared Content-Length must be refused up-front (413), not
+    read into memory on the single-threaded server."""
+    req = urllib.request.Request(
+        server + "/depth/generate", data=b"{}",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str((256 << 20) + 1)}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            status, body = r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 413
+    assert "bytes" in body["detail"]

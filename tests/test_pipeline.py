@@ -122,6 +122,22 @@ def test_funnel_ops_plumbing(rng, tmp_path):
     assert results[0][1] == "depth"
 
 
+def test_funnel_boost_without_pix2pix_weights_fails_loudly(
+        rng, tmp_path, monkeypatch):
+    """Boost with no merge-net checkpoint must refuse (not silently merge
+    through a random-init pix2pix emitting plausible-looking wrong depth);
+    DEPTHMAP_ALLOW_RANDOM_PIX2PIX=1 is the explicit opt-out."""
+    from depthmap_tpu.pipeline.core import PredictorCache
+    monkeypatch.delenv("DEPTHMAP_ALLOW_RANDOM_PIX2PIX", raising=False)
+    monkeypatch.delenv("DEPTHMAP_ALLOW_DOWNLOAD", raising=False)
+    inp = GenerationOptions(model_type=6, boost=True,
+                            net_width=64, net_height=64)
+    with pytest.raises(FileNotFoundError, match="pix2pix"):
+        list(core_generation_funnel(
+            str(tmp_path), [_img(rng)], None, ["a"], inp,
+            predictor_cache=PredictorCache()))
+
+
 def test_funnel_no_half_forces_f32(rng, tmp_path):
     """The reference's no_half op must override the per-model bf16 policy."""
     import jax.numpy as jnp

@@ -56,15 +56,54 @@ def stub_torchvision():
             return (x - mean) / std
 
     class ToTensor:
+        """Real torchvision semantics for the inputs the reference feeds
+        it: HWC numpy -> CHW tensor, scaled by 1/255 only for uint8 (LeReS'
+        scale_torch calls this on float32, depthmap_generation.py:436)."""
         def __call__(self, x):
+            import torch as _torch
+            if isinstance(x, np.ndarray):
+                if x.ndim == 2:
+                    x = x[:, :, None]
+                t = _torch.from_numpy(np.ascontiguousarray(
+                    x.transpose(2, 0, 1)))
+                if t.dtype == _torch.uint8:
+                    t = t.float().div(255)
+                return t
             return x
+
+    class _ChannelNormalize:
+        """transforms.Normalize on CHW tensors (LeReS scale_torch path)."""
+        def __init__(self, mean, std, inplace=False):
+            self.mean, self.std = mean, std
+
+        def __call__(self, x):
+            import torch as _torch
+            mean = _torch.as_tensor(self.mean, dtype=x.dtype,
+                                    device=x.device).view(-1, 1, 1)
+            std = _torch.as_tensor(self.std, dtype=x.dtype,
+                                   device=x.device).view(-1, 1, 1)
+            return (x - mean) / std
 
     tv = types.ModuleType("torchvision")
     tvt = types.ModuleType("torchvision.transforms")
+    # `from torchvision.transforms import transforms` resolves to the inner
+    # torchvision.transforms.transforms submodule (depthmap_generation.py:10)
+    tvtt = types.ModuleType("torchvision.transforms.transforms")
     tvt.Compose, tvt.Normalize, tvt.ToTensor = Compose, Normalize, ToTensor
+    tvtt.Compose, tvtt.ToTensor = Compose, ToTensor
+    tvtt.Normalize = _ChannelNormalize
+    tvt.transforms = tvtt
     tv.transforms = tvt
+    # importlib.util.find_spec("torchvision") (transformers' availability
+    # probe) raises on a sys.modules entry with __spec__ = None
+    import importlib.machinery
+    for _n, _m in (("torchvision", tv), ("torchvision.transforms", tvt),
+                   ("torchvision.transforms.transforms", tvtt)):
+        _m.__spec__ = importlib.machinery.ModuleSpec(_n, loader=None)
+    tv.__version__ = "0.0.0-stub"
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = tvt
+    sys.modules["torchvision.transforms.transforms"] = tvtt
 
 
 def randomize_(torch_model, seed: int = 0, scale: float = 0.05):
