@@ -64,7 +64,8 @@ def output_3d_photo(verts, colors, faces, H, W, hfov, vfov, videos_poses,
     fov_rad = max(hfov, vfov)
     canvas_size = max(original_h, original_w)
     ssaa = int(config.get("ssaa", 1))
-    renderer = MeshRenderer(verts, colors, faces, fov_rad, canvas_size, ssaa)
+    renderer = MeshRenderer(verts, colors, faces, fov_rad, canvas_size, ssaa,
+                            method=config.get("render_method", "triangles"))
     plane_width = np.tan(fov_rad / 2.0) * abs(mean_loc_depth)
 
     aspect = original_h / original_w
