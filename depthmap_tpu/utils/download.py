@@ -22,9 +22,11 @@ CHECKPOINT_URLS = {
     # torch-hub-style filenames (`-<8 hex>` suffix) embed the first 8 sha256
     # chars by torch.hub convention and are used as prefixes.  Entries that
     # remain None have no hash recorded anywhere in the reference and this
-    # build has no network egress to compute one; the pickle-RCE risk of an
-    # unverified mirror is closed by loading every checkpoint with
-    # torch.load(weights_only=True) (models/convert*.py).
+    # build has no network egress to compute one; they are pinned
+    # trust-on-first-use instead (see the pinning section below), and the
+    # pickle-RCE risk of an unverified FIRST fetch is closed by loading
+    # every checkpoint with torch.load(weights_only=True)
+    # (models/convert*.py).
     0: ("res101.pth",
         ["https://huggingface.co/lllyasviel/Annotators/resolve/5bc80eec2b4fddbb/res101.pth",
          "https://cloudstor.aarnet.edu.au/plus/s/lTIJF4vrvHCAI31/download"],
@@ -121,24 +123,85 @@ INPAINT_URLS = {
 }
 
 
-def sha256_prefix_ok(path: str, prefix: Optional[str]) -> bool:
-    if not prefix:
-        return True
+def _sha256_file(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
-    return h.hexdigest().startswith(prefix)
+    return h.hexdigest()
+
+
+def sha256_prefix_ok(path: str, prefix: Optional[str]) -> bool:
+    if not prefix:
+        return True
+    return _sha256_file(path).startswith(prefix)
+
+
+# -- trust-on-first-use hash pinning ----------------------------------------
+# For the 13 registry entries with no hash recorded anywhere (reference
+# records none either), the first successful download pins the file's FULL
+# sha256 to a `.sha256_pins.json` sidecar next to it; every later download
+# or local-file reuse of that name verifies against the pin.  A compromised
+# mirror can therefore only poison a *fresh* deployment's first fetch — and
+# that window, plus explicitly-pinned prefixes, is closed by
+# torch.load(weights_only=True) on every checkpoint (models/convert*.py).
+
+PIN_FILENAME = ".sha256_pins.json"
+
+
+def _pin_store_path(filename: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(filename)),
+                        PIN_FILENAME)
+
+
+def _read_pin(filename: str) -> Optional[str]:
+    import json
+    try:
+        with open(_pin_store_path(filename)) as f:
+            return json.load(f).get(os.path.basename(filename))
+    except (OSError, ValueError):
+        return None
+
+
+def _write_pin(filename: str, digest: str) -> None:
+    import json
+    store = _pin_store_path(filename)
+    data = {}
+    try:
+        with open(store) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        pass
+    data[os.path.basename(filename)] = digest
+    tmp = store + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, store)
+
+
+def _expected_hash(filename: str,
+                   explicit_prefix: Optional[str]) -> Optional[str]:
+    """Explicit registry prefix wins; otherwise any recorded pin."""
+    return explicit_prefix or _read_pin(filename)
 
 
 def ensure_file_downloaded(filename: str,
                            url: Union[str, List[str]],
                            sha256_hash_prefix: Optional[str] = None) -> str:
-    """Parity with reference misc.py:27-44: try mirrors in order, verify the
-    sha256 prefix, keep the first good file."""
-    if os.path.exists(filename) and sha256_prefix_ok(filename,
-                                                     sha256_hash_prefix):
-        return filename
+    """Parity with reference misc.py:27-44 (try mirrors in order, verify the
+    sha256 prefix, keep the first good file) + trust-on-first-use pinning
+    for entries with no recorded hash."""
+    expected = _expected_hash(filename, sha256_hash_prefix)
+    if os.path.exists(filename):
+        if sha256_prefix_ok(filename, expected):
+            if _read_pin(filename) is None:
+                _write_pin(filename, _sha256_file(filename))
+            return filename
+        if sha256_hash_prefix is None and _read_pin(filename) is not None:
+            raise RuntimeError(
+                f"{filename!r} does not match its pinned sha256 (see "
+                f"{_pin_store_path(filename)}); delete the pin entry if the "
+                "file was updated intentionally")
     urls = [url] if isinstance(url, str) else list(url)
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     last_err: Optional[Exception] = None
@@ -149,8 +212,9 @@ def ensure_file_downloaded(filename: str,
                 tmp_name = tmp.name
                 with urllib.request.urlopen(u, timeout=60) as r:
                     shutil.copyfileobj(r, tmp)
-            if sha256_prefix_ok(tmp_name, sha256_hash_prefix):
+            if sha256_prefix_ok(tmp_name, expected):
                 shutil.move(tmp_name, filename)
+                _write_pin(filename, _sha256_file(filename))
                 return filename
             last_err = ValueError(f"sha256 mismatch for {u}")
         except Exception as e:  # network failure -> next mirror

@@ -123,3 +123,71 @@ def test_color_video_codec_chain_gated(tmp_path):
         assert written[0].endswith((".avi", ".mp4", ".webm"))
     except ImportError:
         assert written[0].endswith(".gif")
+
+
+def test_video_stereo_fill_is_canonical_single_image_path(tmp_path, rng):
+    """Weak-#6 (r2): video frames must take the SAME fill implementation as
+    single images — the canonical sequential host fill for
+    naive_interpolating (and the host polylines kernel for polylines_*),
+    not the batched device approximation (which deviates on re-entrant
+    pixels and is bench-only, ops/stereo.py:123-128).  Pinned by driving
+    gen_video with a custom depthmap and asserting frame-level byte
+    equality with per-image create_stereoimages."""
+    from depthmap_tpu.ops.stereo import create_stereoimages
+    from depthmap_tpu.options import GenerationOptions
+    from depthmap_tpu.pipeline.video_mode import (frames_to_video, gen_video,
+                                                  open_path_as_images)
+
+    H, W = 32, 48
+    n = 3
+    frames_dir = tmp_path / "frames"
+    depth_dir = tmp_path / "depths"
+    frames_dir.mkdir()
+    depth_dir.mkdir()
+    imgs, depths = [], []
+    for i in range(n):
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        d = (rng.random((H, W)) * 65535).astype(np.uint16)
+        imgs.append(img)
+        depths.append(d)
+        Image.fromarray(img).save(frames_dir / f"f{i:03d}.png")
+        Image.fromarray(d).save(depth_dir / f"f{i:03d}.png")
+
+    inp = GenerationOptions(gen_stereo=True, model_type=6,
+                            stereo_modes=["left-right"],
+                            stereo_fill_algo="naive_interpolating",
+                            do_output_depth=False)
+    out_dir = tmp_path / "out"
+    # capture the derived frames BEFORE the codec chain (the GIF fallback
+    # palette-quantizes; the claim under test is the fill path, not codecs)
+    captured = {}
+
+    def record(fps, frames, path, basename, bitrate=None):
+        captured[basename] = [np.asarray(f.convert("RGB")) for f in frames]
+        return [str(out_dir / f"{basename}.fake")]
+
+    import depthmap_tpu.pipeline.video_mode as VM
+    monkeypatch = pytest.MonkeyPatch()
+    monkeypatch.setattr(VM, "frames_to_video", record)
+    try:
+        gen_video(str(frames_dir), str(out_dir), inp,
+                  custom_depthmap=str(depth_dir))
+    finally:
+        monkeypatch.undo()
+    stereo_frames = [v for k, v in captured.items() if "left-right" in k]
+    assert stereo_frames, captured.keys()
+    video_frames = stereo_frames[0]
+    assert len(video_frames) == n
+
+    for i in range(n):
+        # replicate the funnel's depth plumbing: custom ingest /2^16
+        # (core.py _ingest_custom_depthmap, no min-max for custom maps),
+        # clip + i16 quantize — create_stereoimages receives that uint16 map
+        d = depths[i].astype(np.float64) / 65536.0
+        i16 = np.asarray(
+            np.round(np.clip(d, 0, 1) * 65535)).astype(np.uint16)
+        expect = create_stereoimages(
+            imgs[i], i16, divergence=2.5, separation=0.0,
+            modes=["left-right"],
+            fill_technique="naive_interpolating")[0]
+        np.testing.assert_array_equal(video_frames[i], expect)
