@@ -131,6 +131,124 @@ def bench_video_e2e_fps():
     }
 
 
+def measure_link_bandwidth():
+    """Host<->device transfer bandwidth (MB/s), so the e2e numbers below are
+    interpretable: under the axon tunnel downloads run ~11 MB/s (vs ~12 GB/s
+    PCIe on a real TPU host), so any metric that downloads full-res maps
+    measures the link, not the framework."""
+    import jax
+    import jax.numpy as jnp
+    mb = 8
+    host = np.random.default_rng(0).random((mb << 20) // 4).astype(np.float32)
+    t0 = time.perf_counter()
+    dev = jnp.asarray(host)
+    dev.block_until_ready()
+    up = mb / (time.perf_counter() - t0)
+    _ = np.asarray(dev[:1])
+    t0 = time.perf_counter()
+    _ = np.asarray(dev + 1.0)   # distinct value: defeat transfer dedupe
+    down = mb / (time.perf_counter() - t0)
+    return {"metric": "link_bandwidth", "upload_mb_s": round(up, 1),
+            "download_mb_s": round(down, 1), "unit": "MB/s"}
+
+
+def bench_funnel_e2e_fps():
+    """Funnel-level throughput: PIL image in -> 16-bit depth PIL out through
+    the REAL core_generation_funnel (preprocess, upload, forward, fused
+    finalize+i16, download of the uint16 map, PIL wrap) — everything the
+    device-only headline excludes.  No staging tricks: fresh images each
+    iteration."""
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    size = 128 if small else 512
+    model_id = 6 if small else 1
+    n = 4 if small else 16
+
+    from PIL import Image
+    from depthmap_tpu.options import GenerationOptions
+    from depthmap_tpu.pipeline.core import PredictorCache, \
+        core_generation_funnel
+
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray((rng.random((size, size, 3)) * 255)
+                            .astype(np.uint8)) for _ in range(n)]
+    inp = GenerationOptions(model_type=model_id, net_width=size,
+                            net_height=size, do_output_depth=True)
+    cache = PredictorCache()
+
+    def run(images):
+        results = list(core_generation_funnel(None, images, None, None, inp,
+                                              predictor_cache=cache))
+        assert len(results) == len(images)
+        return results
+
+    run(imgs[:2])                      # compile + warmup
+    best_dt = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        run(imgs)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    fps = n / best_dt
+    return {
+        "metric": f"funnel_e2e_fps_{size}px_model{model_id}",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "note": "host transfers + preprocessing + PIL included",
+    }
+
+
+def bench_video_e2e_fill_fps(fill: str):
+    """1080p video depth+stereo with the PRODUCTION derive chain: batched
+    depth pass (predict_batch, as gen_video pass 1), host global scaling,
+    per-frame i16 + create_stereoimages with the given fill — the shipping
+    default is polylines_sharp (host C++ kernel); 'naive' is the
+    device-fill comparison point.  All transfers included."""
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    h, w = (120, 160) if small else (1080, 1920)
+    net = 128 if small else 512
+    model_id = 6 if small else 1
+    n = 2 if small else 8
+
+    from depthmap_tpu.ops import numerics
+    from depthmap_tpu.ops.stereo import create_stereoimages
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+    from depthmap_tpu.pipeline.video_mode import process_predictions
+
+    import jax.numpy as jnp
+
+    pred = DepthPredictor(model_id)
+    rng = np.random.default_rng(0)
+    frames01 = rng.random((n, h, w, 3)).astype(np.float32)
+    frames_u8 = (frames01 * 255).astype(np.uint8)
+
+    def run(stack01):
+        preds = pred.predict_batch(stack01, net, net)       # (n, h, w) f32
+        preds = process_predictions(list(preds), "none")    # global scaling
+        outs = []
+        for i in range(len(preds)):
+            d = np.clip(preds[i], 0, 1)
+            i16 = np.asarray(numerics.convert_to_i16(jnp.asarray(d)))
+            sbs = create_stereoimages(frames_u8[i], i16, 2.5, 0.0,
+                                      ["left-right"],
+                                      fill_technique=fill)[0]
+            outs.append((i16, sbs))
+        return outs
+
+    run(frames01[:n])                  # compile + warmup (all shapes)
+    best_dt = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        outs = run(frames01 + np.float32(1e-3))
+        assert len(outs) == n
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    fps = n / best_dt
+    return {
+        "metric": f"video_e2e_fps_{h}p_fill_{fill}",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "note": "production derive chain, host transfers included",
+    }
+
+
 def bench_model_fps(model_id: int, size: int, batch: int = 8,
                     iters: int = 6):
     """Depth fps for one model family at its default net size (production
@@ -226,10 +344,15 @@ def main():
     headline = bench_depth_fps()
     extra = []
     if os.environ.get("BENCH_SKIP_E2E", "0") != "1":
-        try:
-            extra.append(bench_video_e2e_fps())
-        except Exception as e:      # the headline line must still print
-            extra.append({"metric": "video_depth_stereo_fps", "error": str(e)})
+        for fn in (measure_link_bandwidth, bench_funnel_e2e_fps,
+                   bench_video_e2e_fps,
+                   lambda: bench_video_e2e_fill_fps("naive"),
+                   lambda: bench_video_e2e_fill_fps("polylines_sharp")):
+            try:
+                extra.append(fn())
+            except Exception as e:  # the headline line must still print
+                extra.append({"metric": getattr(fn, "__name__", "e2e"),
+                              "error": str(e)})
     if os.environ.get("BENCH_EXTRA_MODELS", "0") == "1":
         # per-family throughput (opt-in: adds several compiles)
         small = os.environ.get("BENCH_SMALL", "0") == "1"

@@ -205,6 +205,7 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
 
         raw_prediction = None
         raw_prediction_invert = False
+        img_output = None
         if inputdepthmaps[count] is not None:
             out = _ingest_custom_depthmap(inputdepthmaps[count], w, h)
         else:
@@ -223,6 +224,18 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                     with stage("boost_estimate"):
                         raw_prediction = boost.estimate(
                             img01, whole_size_threshold=boost_rmax)
+                elif not inp.do_output_depth_prediction \
+                        and not inp.gen_simple_mesh:
+                    # fused fast path: forward + finalize + i16 in one
+                    # device-resident chain, only the uint16 map downloads
+                    # (the raw f32 map is only needed on host for the
+                    # depth_prediction output and the simple-mesh rescale)
+                    with stage("depth_predict"):
+                        img_output = predictor.predict_finalized(
+                            img01, net_width, net_height,
+                            clip=inp.clipdepth, clip_mode=inp.clipdepth_mode,
+                            clip_far=inp.clipdepth_far,
+                            clip_near=inp.clipdepth_near)
                 else:
                     with stage("depth_predict"):
                         raw_prediction = predictor.predict(img01, net_width,
@@ -246,7 +259,9 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                 raise
             raw_prediction_invert = predictor.raw_prediction_invert
 
-            if abs(raw_prediction.max() - raw_prediction.min()) > \
+            if img_output is not None:
+                out = None
+            elif abs(raw_prediction.max() - raw_prediction.min()) > \
                     np.finfo("float").eps:
                 if inp.do_output_depth_prediction:
                     pred_out = np.copy(raw_prediction)
@@ -262,8 +277,9 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
 
         # np.array (writable copy): the rembg mask below mutates in place,
         # and np.asarray over a jax array is read-only
-        img_output = np.array(numerics.convert_to_i16(jnp.asarray(
-            np.clip(out, 0, 1))))
+        if img_output is None:
+            img_output = np.array(numerics.convert_to_i16(jnp.asarray(
+                np.clip(out, 0, 1))))
 
         if inp.gen_inpainted_mesh:
             inpaint_imgs.append(img)

@@ -42,6 +42,18 @@ def default_compute_dtype(model_type: int):
     return jnp.bfloat16 if model_type in BF16_MODEL_TYPES else jnp.float32
 
 
+@functools.partial(jax.jit, static_argnames=("invert", "clip", "clip_mode"))
+def _finalize_i16_jit(raw, invert: bool, clip: bool, clip_mode: str,
+                      clip_far, clip_near):
+    """finalize_depth + convert_to_i16 fused on device (the funnel's
+    post-prediction chain, reference src/core.py:189-211 + :44-50)."""
+    from depthmap_tpu.ops import numerics
+    out = numerics.finalize_depth(raw, invert=invert, clip=clip,
+                                  clip_mode=clip_mode, clip_far=clip_far,
+                                  clip_near=clip_near)
+    return numerics.convert_to_i16(jnp.clip(out, 0.0, 1.0))
+
+
 class DepthPredictor:
     """Loads/initializes one depth model and runs jit-compiled inference."""
 
@@ -304,6 +316,34 @@ class DepthPredictor:
         net_size = (net_h, net_w) if self.bundle.prep_in_model else None
         pred = self._apply(jnp.asarray(x), out_h, out_w, net_size)
         return np.asarray(pred[0])
+
+    def predict_finalized(self, img01: np.ndarray,
+                          net_w: Optional[int] = None,
+                          net_h: Optional[int] = None, *,
+                          clip: bool = False, clip_mode: str = "Range",
+                          clip_far: float = 0.0, clip_near: float = 1.0,
+                          resize_mode: Optional[str] = None) -> np.ndarray:
+        """Funnel fast path: forward -> finalize_depth -> convert_to_i16 as
+        one device-resident chain; the ONLY device->host transfer is the
+        final (H, W) uint16 map (half the bytes of the raw f32 map, and none
+        of the funnel's former f32-down / f32-up / i16-down triple trip).
+        Numerics identical to predict() + numerics.finalize_depth +
+        convert_to_i16 (pinned by tests/test_pipeline.py)."""
+        if net_w is None or net_h is None:
+            net_w, net_h = self.spec.default_net_size
+        if self.model_type == 10:   # Marigold: host pipeline, finalize on
+            raw = jnp.asarray(self.predict(img01, net_w, net_h, resize_mode))
+        else:
+            x = self._prep(np.asarray(img01, np.float32), net_w, net_h,
+                           resize_mode)
+            out_h, out_w = img01.shape[:2]
+            net_size = (net_h, net_w) if self.bundle.prep_in_model else None
+            raw = self._apply(jnp.asarray(x), out_h, out_w, net_size)[0]
+        with self._device_scope():
+            i16 = _finalize_i16_jit(raw, self.raw_prediction_invert,
+                                    bool(clip), str(clip_mode),
+                                    float(clip_far), float(clip_near))
+        return np.array(i16)
 
     def predict_batch(self, imgs01: np.ndarray, net_w: Optional[int] = None,
                       net_h: Optional[int] = None,

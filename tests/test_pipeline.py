@@ -192,3 +192,35 @@ def test_funnel_compute_device_cpu(rng, tmp_path):
     assert results[0][1] == "depth"
     assert cache._predictor._device is not None
     assert cache._predictor._device.platform == "cpu"
+
+
+def test_predict_finalized_matches_composed_path(rng):
+    """The fused device chain (forward -> finalize -> i16, one download)
+    must be bit-identical to the funnel's composed path
+    (predict -> finalize_depth -> convert_to_i16)."""
+    import jax.numpy as jnp
+    from depthmap_tpu.ops import numerics
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+
+    pred = DepthPredictor(6, weights_dir="/nonexistent")
+    img01 = rng.random((96, 128, 3)).astype(np.float32)
+    fused = pred.predict_finalized(img01, 64, 64)
+    raw = pred.predict(img01, 64, 64)
+    out = np.asarray(numerics.finalize_depth(
+        jnp.asarray(raw), invert=pred.raw_prediction_invert))
+    composed = np.array(numerics.convert_to_i16(
+        jnp.asarray(np.clip(out, 0, 1))))
+    assert fused.dtype == np.uint16
+    np.testing.assert_array_equal(fused, composed)
+    assert fused.flags.writeable
+
+    # clip path too (Range mode)
+    fused_c = pred.predict_finalized(img01, 64, 64, clip=True,
+                                     clip_mode="Range", clip_far=0.1,
+                                     clip_near=0.9)
+    out_c = np.asarray(numerics.finalize_depth(
+        jnp.asarray(raw), invert=pred.raw_prediction_invert, clip=True,
+        clip_mode="Range", clip_far=0.1, clip_near=0.9))
+    composed_c = np.array(numerics.convert_to_i16(
+        jnp.asarray(np.clip(out_c, 0, 1))))
+    np.testing.assert_array_equal(fused_c, composed_c)
