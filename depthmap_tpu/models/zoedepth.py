@@ -22,7 +22,7 @@ min_temp 0.0212, max_temp 50; N: max_depth 10 @384x512; K: max_depth 80
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -337,10 +337,21 @@ class ZoeDepth(nn.Module):
     attractor_kind: str = "mean"
     attractor_type: str = "inv"
     bin_centers_type: str = "softplus"   # 'normed' for zoedepth_k
+    # Selective precision (VERDICT r2 #7): the relative-depth core runs in
+    # this dtype (bf16 on TPU), the metric head (bins / attractors /
+    # log-binomial) always computes f32 — the reference keeps zoedepth_n
+    # fully f32 because whole-model half "completely trips"
+    # (depthmap_generation.py:262-276); the drift lives in the head, not
+    # the backbone (measured in PARITY.md).
+    core_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, rel_bias=None):
+        if self.core_dtype is not None:
+            x = x.astype(self.core_dtype)
         rel_depth, taps = self.core(x, train=train, rel_bias=rel_bias)
+        rel_depth = rel_depth.astype(jnp.float32)
+        taps = [t.astype(jnp.float32) for t in taps]
         out_conv_act, btlnck, *x_blocks = taps
 
         btlnck = Conv(btlnck.shape[-1], 1, name="conv2")(btlnck)
@@ -381,10 +392,15 @@ class ZoeDepthNK(nn.Module):
     min_temp: float = 0.0212
     max_temp: float = 50.0
     alpha: float = 1000.0
+    core_dtype: Optional[Any] = None   # see ZoeDepth.core_dtype
 
     @nn.compact
     def __call__(self, x, train: bool = False, rel_bias=None):
+        if self.core_dtype is not None:
+            x = x.astype(self.core_dtype)
         rel_depth, taps = self.core(x, train=train, rel_bias=rel_bias)
+        rel_depth = rel_depth.astype(jnp.float32)
+        taps = [t.astype(jnp.float32) for t in taps]
         out_conv_act, btlnck, *x_blocks = taps
         btlnck = Conv(btlnck.shape[-1], 1, name="conv2")(btlnck)
 

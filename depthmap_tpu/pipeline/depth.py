@@ -80,9 +80,31 @@ class DepthPredictor:
         self.marigold_steps = marigold_steps
         set_tiling_mode(tiling_mode)  # trace-time flag for all convs
         self.bundle: ModelBundle = build_model(self.model_type)
+        explicit_dtype = compute_dtype is not None
         if compute_dtype is None:
             compute_dtype = default_compute_dtype(self.model_type)
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # Selective precision for zoedepth_n (VERDICT r2 #7): whole-model
+        # bf16 drifts too much for a metric head (mean rel 1.2%, p99 3.6% —
+        # PARITY.md), but the drift lives in the bins/attractors/log-binomial
+        # head, not the BEiT relative-depth core.  Run the core bf16, the
+        # head f32: measured drift vs full-f32 is far smaller (PARITY.md
+        # round 3).  DEPTHMAP_ZOE_CORE_DTYPE=float32 opts out; an explicit
+        # compute_dtype (no_half / DEPTHMAP_COMPUTE_DTYPE) wins.
+        import os
+        self.core_dtype = self.compute_dtype
+        if (self.model_type == 7 and not explicit_dtype
+                and "DEPTHMAP_COMPUTE_DTYPE" not in os.environ):
+            self.core_dtype = jnp.dtype(
+                os.environ.get("DEPTHMAP_ZOE_CORE_DTYPE", "bfloat16"))
+        if self.model_type in (7, 8, 9) and \
+                self.core_dtype != self.compute_dtype:
+            import dataclasses
+            m = self.bundle.module
+            self.bundle = dataclasses.replace(
+                self.bundle,
+                module=m.copy(model=m.model.copy(
+                    core_dtype=self.core_dtype)))
         self._jit_cache: Dict[Tuple, Any] = {}
         self._bias_cache: Dict[Tuple, Any] = {}
         if self.model_type == 10:   # Marigold pipeline manages its own state
@@ -100,15 +122,27 @@ class DepthPredictor:
         # distinct shape (~0.4 s each through remote compile — minutes of
         # startup for a 200-leaf model)
         dt = self.compute_dtype
+        cdt = self.core_dtype
 
-        def _cast(a):
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                return a.astype(dt)
-            return a
+        def _cast_to(d):
+            def f(a):
+                if jnp.issubdtype(a.dtype, jnp.floating):
+                    return a.astype(d)
+                return a
+            return f
+
+        def _cast_tree(tree):
+            if cdt == dt:
+                return jax.tree.map(_cast_to(dt), tree)
+            # selective: the relative-depth core runs in core_dtype, the
+            # metric head stays in compute_dtype (f32)
+            p = jax.tree.map(_cast_to(dt), tree["params"])
+            core = jax.tree.map(_cast_to(cdt), tree["params"]["model"]["core"])
+            p = {**p, "model": {**p["model"], "core": core}}
+            return {**tree, "params": p}
 
         with self._device_scope():
-            self.variables = jax.jit(
-                lambda tree: jax.tree.map(_cast, tree))(params)
+            self.variables = jax.jit(_cast_tree)(params)
 
     def _device_scope(self):
         """Context placing dispatches on the selected device (no-op for the
@@ -201,7 +235,7 @@ class DepthPredictor:
             return False
         n = grid[0] * grid[1] + 1
         resident = (backbone.depth * backbone.num_heads * n * n *
-                    self.compute_dtype.itemsize)
+                    self.core_dtype.itemsize)
         return resident <= 2 << 30
 
     def _rel_biases(self, grid: Tuple[int, int]):
@@ -209,7 +243,7 @@ class DepthPredictor:
             from depthmap_tpu.models.beit import precompute_rel_biases
             backbone, params = self._beit_hoist_info()
             self._bias_cache[grid] = precompute_rel_biases(
-                backbone, params, grid, dtype=self.compute_dtype)
+                backbone, params, grid, dtype=self.core_dtype)
         return self._bias_cache[grid]
 
     def _forward_fn(self, out_h: int, out_w: int,

@@ -2,6 +2,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from depthmap_tpu.models.dpt import DPTDepthModel
@@ -76,3 +77,31 @@ def test_zoe_rel_bias_hoist_matches_inline(rng):
     out = model.apply(v, x, rel_bias=biases)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_zoe_selective_precision_policy(rng, monkeypatch):
+    """zoedepth_n default: bf16 relative-depth core + f32 metric head
+    (VERDICT r2 #7).  Measured on v5e: 28.9 vs 19.8 fps @512^2 b8 with
+    a1 = 1.0 and abs_rel 0.32% vs full f32 (PARITY.md round 3).  An explicit
+    compute_dtype (the funnel's no_half op) must force f32 everywhere."""
+    import jax.numpy as jnp
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+    monkeypatch.delenv("DEPTHMAP_COMPUTE_DTYPE", raising=False)
+    monkeypatch.delenv("DEPTHMAP_ZOE_CORE_DTYPE", raising=False)
+    pred = DepthPredictor(7, weights_dir="/nonexistent")
+    assert pred.compute_dtype == jnp.float32       # head stays f32
+    assert pred.core_dtype == jnp.bfloat16
+    assert pred.bundle.module.model.core_dtype == jnp.bfloat16
+
+    img = rng.random((64, 96, 3)).astype(np.float32)
+    sel = pred.predict(img, 64, 64)
+
+    f32 = DepthPredictor(7, weights_dir="/nonexistent",
+                         compute_dtype="float32")
+    assert f32.core_dtype == jnp.float32           # no_half path
+    assert f32.bundle.module.model.core_dtype is None
+    ref = f32.predict(img, 64, 64)
+    rel = np.abs(sel - ref) / np.maximum(np.abs(ref), 1e-6)
+    assert rel.mean() < 0.02, rel.mean()
+    assert np.median(rel) < 0.01
