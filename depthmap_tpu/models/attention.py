@@ -13,10 +13,86 @@ Two interchangeable implementations:
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+class RelBiasSpec(NamedTuple):
+    """Streamed BEiT relative-position bias (VERDICT r2 #6).
+
+    At large windows the materialized (H, N, N) bias dominates HBM (BEiT-L
+    @1536x1152: 24 blocks x 16 x 6913^2 — tens of GB even one block at a
+    time), which forced Boost's whole-image cap.  Instead of an array, the
+    backbone hands attention the window-resized TABLE plus the grid shape;
+    attention q-chunks and gathers each chunk's (chunk, N) bias tile on the
+    fly — peak bias memory is one chunk, any N fits."""
+    table: jax.Array    # (num_rel + 3, H), already window-resized
+    gh: int
+    gw: int
+
+
+def attention_rel_streamed(q, k, v, spec: RelBiasSpec,
+                           scale: Optional[float] = None,
+                           chunk: int = 512):
+    """Exact attention with the rel-pos bias resolved per q-chunk.
+
+    bias[t1, t2] = table[index(t1, t2)] with index the standard BEiT
+    relative-position formula (models/beit.py gen_relative_position_index)
+    — computed here from per-token (row, col) integer vectors instead of
+    the (N, N) index array, so nothing quadratic materializes beyond one
+    (chunk, N) tile.  Each chunk runs through the Pallas flash kernel on
+    TPU (full-key online softmax per chunk is exact)."""
+    b, h, n, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    gh, gw = int(spec.gh), int(spec.gw)
+    num_rel = (2 * gh - 1) * (2 * gw - 1)
+    chunk = min(chunk, -(-n // 128) * 128)
+
+    t = jnp.arange(n, dtype=jnp.int32)
+    rows_k = jnp.maximum(t - 1, 0) // gw
+    cols_k = jnp.maximum(t - 1, 0) % gw
+    k_cls = t == 0
+
+    nch = -(-n // chunk)
+    npad = nch * chunk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, npad - n), (0, 0)))
+    tq = jnp.arange(npad, dtype=jnp.int32)
+    rows_q = jnp.maximum(tq - 1, 0) // gw
+    cols_q = jnp.maximum(tq - 1, 0) % gw
+    qs = qp.reshape(b, h, nch, chunk, d).transpose(2, 0, 1, 3, 4)
+    table = spec.table.astype(jnp.float32)
+
+    def body(args):
+        qc, rqc, cqc, tqc = args
+        dr = rqc[:, None] - rows_k[None, :] + (gh - 1)
+        dc = cqc[:, None] - cols_k[None, :] + (gw - 1)
+        idx = dr * (2 * gw - 1) + dc
+        idx = jnp.where(k_cls[None, :], num_rel + 1, idx)
+        idx = jnp.where((tqc == 0)[:, None], num_rel, idx)
+        idx = jnp.where((tqc == 0)[:, None] & k_cls[None, :],
+                        num_rel + 2, idx)
+        # padded queries (tqc >= n) may index out of range; clamp — their
+        # output rows are sliced away below
+        idx = jnp.clip(idx, 0, num_rel + 2)
+        bias_c = table[idx]                       # (chunk, n, H)
+        bias_c = bias_c.transpose(2, 0, 1)[None]  # (1, H, chunk, n)
+        if _on_tpu():
+            try:
+                from depthmap_tpu.ops.flash_attention import flash_attention
+                return flash_attention(qc, k, v, bias=bias_c, scale=scale)
+            except Exception:
+                pass
+        return attention_xla(qc, k, v, bias_c, scale)
+
+    outs = jax.lax.map(body, (qs,
+                              rows_q.reshape(nch, chunk),
+                              cols_q.reshape(nch, chunk),
+                              tq.reshape(nch, chunk)))
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, npad, d)
+    return out[:, :, :n]
 
 
 def attention_xla(q, k, v, bias: Optional[jax.Array] = None,
@@ -59,6 +135,8 @@ def attention(q, k, v, bias: Optional[jax.Array] = None,
     default on TPU whenever a rel-pos bias is present and the sequence is
     long enough for tiling to pay.  Plain (bias-free) attention stays on
     XLA, which fuses it well at this zoo's lengths."""
+    if isinstance(bias, RelBiasSpec):
+        return attention_rel_streamed(q, k, v, bias, scale)
     if impl == "xla":
         return attention_xla(q, k, v, bias, scale)
     override = _flash_override()

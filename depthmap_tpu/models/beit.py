@@ -57,7 +57,8 @@ class RelPosBias(nn.Module):
     train_window: Tuple[int, int]   # (Wh, Ww) the checkpoint was trained at
 
     @nn.compact
-    def __call__(self, window: Tuple[int, int]) -> jax.Array:
+    def __call__(self, window: Tuple[int, int],
+                 table_only: bool = False) -> jax.Array:
         twh, tww = self.train_window
         old_num = (2 * twh - 1) * (2 * tww - 1) + 3
         table = self.param("relative_position_bias_table",
@@ -72,6 +73,10 @@ class RelPosBias(nn.Module):
             sub = interpolate(sub, (new_h, new_w), "bilinear", False)
             sub = sub.reshape(new_h * new_w, self.num_heads)
             table = jnp.concatenate([sub, table[old_num - 3:]], axis=0)
+        if table_only:
+            # streamed-bias path: attention gathers per q-chunk from this
+            # (num_rel + 3, H) table (models/attention.py RelBiasSpec)
+            return table
         # the index's 3 cls entries (num_rel..num_rel+2 for the *new* window)
         # already point at the resized table's tail rows
         idx = gen_relative_position_index(wh, ww)
@@ -107,10 +112,30 @@ class BeitBackbone(nn.Module):
             [jnp.broadcast_to(cls, (n, 1, self.embed_dim)), tokens], axis=1)
 
         tw = self.train_img_size // self.patch_size
+        # Streamed bias above a materialization budget (VERDICT r2 #6): one
+        # (H, N, N) block bias at bf16 crosses ~256 MB near N ~ 2900 (about
+        # 880 px) and transients OOM a 16 GB chip well before Boost's
+        # r_max = 1600 whole-image pass (N = 6913 -> 1.5 GB per block).
+        # Past the budget, attention receives the resized TABLE and gathers
+        # per q-chunk (models/attention.py attention_rel_streamed).
+        import os
+        n_tok = gh * gw + 1
+        stream_budget = int(os.environ.get("DEPTHMAP_BIAS_STREAM_BYTES",
+                                           256 << 20))
+        stream = (rel_bias is None and
+                  self.num_heads * n_tok * n_tok * x.dtype.itemsize
+                  > stream_budget)
         feats = []
         for i in range(self.depth):
             if rel_bias is not None:
                 bias = rel_bias[i]
+            elif stream:
+                from depthmap_tpu.models.attention import RelBiasSpec
+                bias = RelBiasSpec(
+                    RelPosBias(self.num_heads, (tw, tw),
+                               name=f"rel_pos_bias_{i}")((gh, gw),
+                                                         table_only=True),
+                    gh, gw)
             else:
                 bias = RelPosBias(self.num_heads, (tw, tw),
                                   name=f"rel_pos_bias_{i}")((gh, gw))

@@ -422,13 +422,11 @@ class BoostEngine:
         whole_image_optimal_size = min(
             int(-(-whole_image_optimal_size // rf) * rf),
             int(min(whole_size_threshold, 3 * max(h, w))))
-        # BEiT's relative-position bias materializes (heads, N, N) per block
-        # even under flash attention (bias is a kernel input); past ~1024 px
-        # the transients outgrow a 16 GB chip.  Cap the whole-image pass the
-        # same way the reference caps r_max to fit its 8 GB GPU
-        # (README.md:69) — patch estimates carry the high-frequency detail.
-        if self.predictor._beit_bias_hoist:
-            whole_image_optimal_size = min(whole_image_optimal_size, 1024)
+        # The former 1024 px cap for BEiT-bias models is gone: above the
+        # bias-materialization budget the backbone streams the rel-pos bias
+        # per q-chunk (models/attention.py attention_rel_streamed), so the
+        # whole-image pass honors r_max = 1600 like the reference
+        # (calculateprocessingres depthmap_generation.py:969-1024).
 
         whole = self._double_estimate_dev(img, rf, whole_image_optimal_size)
         updated = _to_frame_jit(whole, h, w)          # (h, w) device

@@ -45,3 +45,55 @@ def test_flash_custom_scale(rng):
     want = np.asarray(attention_xla(q, k, v, scale=0.25))
     got = np.asarray(flash_attention(q, k, v, scale=0.25, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_attention_rel_streamed_matches_materialized(rng):
+    """Streamed per-chunk bias gather must equal attention with the fully
+    materialized (H, N, N) bias built from the same table/index."""
+    import jax.numpy as jnp
+    from depthmap_tpu.models.attention import (RelBiasSpec, attention_xla,
+                                               attention_rel_streamed)
+    from depthmap_tpu.models.beit import gen_relative_position_index
+
+    gh, gw = 5, 7
+    n = gh * gw + 1
+    h, d, b = 3, 8, 2
+    num_rel = (2 * gh - 1) * (2 * gw - 1)
+    table = rng.normal(size=(num_rel + 3, h)).astype(np.float32)
+    q = rng.normal(size=(b, h, n, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, n, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, n, d)).astype(np.float32)
+
+    idx = gen_relative_position_index(gh, gw)
+    bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)[None]
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(bias))
+    # chunk smaller than n so several chunks + query padding are exercised
+    got = attention_rel_streamed(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v),
+                                 RelBiasSpec(jnp.asarray(table), gh, gw),
+                                 chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_beit_backbone_streamed_bias_matches(rng, monkeypatch):
+    """BeitBackbone with the stream budget forced to 0 must produce the
+    same features as the materialized inline path."""
+    import jax
+    import jax.numpy as jnp
+    from depthmap_tpu.models.beit import BeitBackbone
+
+    bb = BeitBackbone(embed_dim=32, depth=2, num_heads=2, hooks=(0, 1),
+                      train_img_size=64, patch_size=16)
+    x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)), jnp.float32)
+    params = jax.jit(bb.init)(jax.random.PRNGKey(0), x)
+
+    monkeypatch.delenv("DEPTHMAP_BIAS_STREAM_BYTES", raising=False)
+    feats_mat, grid = bb.apply(params, x)
+    monkeypatch.setenv("DEPTHMAP_BIAS_STREAM_BYTES", "0")
+    feats_str, grid2 = jax.jit(bb.apply)(params, x)
+    assert grid == grid2
+    for a, b_ in zip(feats_mat, feats_str):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=2e-5)
