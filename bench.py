@@ -279,6 +279,32 @@ def bench_model_fps(model_id: int, size: int, batch: int = 8,
     }
 
 
+def bench_marigold_seconds():
+    """Marigold seconds/image at the production config (768 processing res,
+    ensemble 5, 12 DDIM steps, batched ensemble).  The SD2 UNet keeps
+    self-attention at the full latent resolution (N = 6912 tokens @768);
+    routing it through the Pallas flash kernel took this from 127 s to
+    ~5 s/image on v5e."""
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+    pred = DepthPredictor(10)
+    rng = np.random.default_rng(0)
+    h, w, res = (96, 128, 128) if small else (384, 512, 768)
+    img = rng.random((h, w, 3)).astype(np.float32)
+    _ = pred.predict(img, res, res)               # compile
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        out = pred.predict(img + np.float32(1e-4) * (i + 1), res, res)
+        assert np.isfinite(out).all()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "metric": f"marigold_seconds_per_image_res{res}_e5_s12",
+        "value": round(best, 2),
+        "unit": "s/image",
+    }
+
+
 def bench_boost_seconds():
     """Boost (multi-resolution merge) seconds/image — the flow the reference
     calls 'very slow' (README.md:46).  Patch double-estimates and pix2pix
@@ -369,6 +395,10 @@ def main():
             extra.append(bench_boost_seconds())
         except Exception as e:
             extra.append({"metric": "boost_seconds", "error": str(e)})
+        try:
+            extra.append(bench_marigold_seconds())
+        except Exception as e:
+            extra.append({"metric": "marigold_seconds", "error": str(e)})
         try:
             extra.append(bench_ldi_mesh_seconds())
         except Exception as e:

@@ -140,9 +140,16 @@ def attention(q, k, v, bias: Optional[jax.Array] = None,
     if impl == "xla":
         return attention_xla(q, k, v, bias, scale)
     override = _flash_override()
+    # bias-free policy: XLA fuses small-N softmax attention well, but past
+    # ~2k tokens the materialized (B, H, N, M) scores dominate HBM traffic
+    # (Marigold's SD2 UNet top level @768: N = 6912 -> 4.8 GB of f32 scores
+    # per op); the flash kernel streams them.  Cross-attention with tiny kv
+    # (77-token CLIP context) stays on XLA.
     use_flash = impl == "flash" or override is True or (
         impl == "auto" and override is None and _on_tpu()
-        and bias is not None and q.shape[2] >= 256)
+        and ((bias is not None and q.shape[2] >= 256)
+             or (bias is None and q.shape[2] >= 2048
+                 and k.shape[2] >= 1024)))
     if not use_flash or override is False:
         return attention_xla(q, k, v, bias, scale)
     try:

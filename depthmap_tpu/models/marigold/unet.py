@@ -56,10 +56,13 @@ class CrossAttention(nn.Module):
         def heads(t, length):
             return t.reshape(b, length, self.heads, self.dim_head
                              ).transpose(0, 2, 1, 3)
-        a = jnp.einsum("bhnd,bhmd->bhnm", heads(q, n) * self.dim_head ** -0.5,
-                       heads(k, m), preferred_element_type=jnp.float32)
-        a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhnm,bhmd->bhnd", a, heads(v, m))
+        # shared dispatcher: XLA softmax for small N / tiny-kv cross-attn,
+        # Pallas flash for the large-N self-attention at the top latent
+        # levels (SD2 keeps attention at the full latent resolution — the
+        # materialized scores would dominate the whole pipeline's runtime)
+        from depthmap_tpu.models.attention import attention
+        o = attention(heads(q, n), heads(k, m), heads(v, m),
+                      scale=self.dim_head ** -0.5)
         o = o.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(x.shape[-1], name="to_out")(o)
 
@@ -161,7 +164,12 @@ class MarigoldUNet(nn.Module):
                         name=f"up{i}_attn{j}")(h, context)
             if i > 0:
                 n, hh, ww, cc = h.shape
-                h = jax.image.resize(h, (n, hh * 2, ww * 2, cc), "nearest")
+                # upsample to the NEXT SKIP's spatial size, not blind 2x —
+                # diffusers passes upsample_size from the skip stack when
+                # dims aren't divisible by 2^levels (UNet2DConditionModel
+                # forward_upsample_size); blind doubling breaks odd latents
+                th, tw = skips[-1].shape[1:3]
+                h = jax.image.resize(h, (n, th, tw, cc), "nearest")
                 h = nn.Conv(cc, (3, 3), padding=1, name=f"up{i}_upsample")(h)
 
         h = nn.silu(nn.GroupNorm(32, epsilon=1e-5, name="norm_out")(h))

@@ -11,7 +11,7 @@ Unlike the reference there is no module-global model holder; a
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -199,6 +199,55 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
     inpaint_imgs = []
     inpaint_depths = []
 
+    # Batched fused fast path (TPU-first: batching is first-class): images
+    # that share a shape and need no host-side raw map ride ONE batched
+    # forward + finalize + i16 dispatch instead of N serial ones.  Equal to
+    # the serial path up to conv-batching reassociation in the compute
+    # dtype (f32: within the i16 quantum; bf16: ~1 ULP, same property the
+    # video path's predict_batch has always had — pinned in
+    # test_funnel_batched_fused_matches_serial).  Any failure falls back to
+    # the serial path, which re-raises with the funnel's OOM advice.
+    # DEPTHMAP_FUNNEL_BATCH<2 disables the pre-pass.
+    fused_batch: Dict[int, np.ndarray] = {}
+    fused_eligible = (predictor is not None and not inp.boost
+                      and not inp.do_output_depth_prediction
+                      and not inp.gen_simple_mesh
+                      and len(inputimages) > 1)
+    if fused_eligible:
+        groups: Dict[Tuple[int, int], list] = {}
+        for count, image in enumerate(inputimages):
+            if inputdepthmaps[count] is not None:
+                continue
+            arr = np.asarray(_to_rgb(image))
+            groups.setdefault(arr.shape[:2], []).append((count, arr))
+        import os
+        chunk = int(os.environ.get("DEPTHMAP_FUNNEL_BATCH", "8"))
+        if chunk < 2:
+            groups = {}
+        try:
+            for (h, w), members in groups.items():
+                if len(members) < 2:
+                    continue
+                if inp.net_size_match:
+                    nw_, nh_ = (w + 31) // 32 * 32, (h + 31) // 32 * 32
+                else:
+                    nw_, nh_ = inp.net_width, inp.net_height
+                for i in range(0, len(members), chunk):
+                    part = members[i:i + chunk]
+                    stack = np.stack([m[1] for m in part]).astype(
+                        np.float32) / 255.0
+                    i16s = predictor.predict_finalized_batch(
+                        stack, nw_, nh_, clip=inp.clipdepth,
+                        clip_mode=inp.clipdepth_mode,
+                        clip_far=inp.clipdepth_far,
+                        clip_near=inp.clipdepth_near)
+                    for (idx, _), m16 in zip(part, i16s):
+                        fused_batch[idx] = np.array(m16)
+        except Exception as e:
+            print(f"batched depth fast path unavailable ({e}); "
+                  "falling back to serial prediction")
+            fused_batch.clear()
+
     for count, image in enumerate(inputimages):
         img = np.asarray(_to_rgb(image))
         h, w = img.shape[:2]
@@ -224,6 +273,8 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                     with stage("boost_estimate"):
                         raw_prediction = boost.estimate(
                             img01, whole_size_threshold=boost_rmax)
+                elif count in fused_batch:
+                    img_output = fused_batch.pop(count)
                 elif not inp.do_output_depth_prediction \
                         and not inp.gen_simple_mesh:
                     # fused fast path: forward + finalize + i16 in one

@@ -54,6 +54,15 @@ def _finalize_i16_jit(raw, invert: bool, clip: bool, clip_mode: str,
     return numerics.convert_to_i16(jnp.clip(out, 0.0, 1.0))
 
 
+@functools.partial(jax.jit, static_argnames=("invert", "clip", "clip_mode"))
+def _finalize_i16_batch_jit(raw, invert: bool, clip: bool, clip_mode: str,
+                            clip_far, clip_near):
+    """Per-image finalize over a (N, H, W) stack — each frame normalizes
+    against its OWN min/max, exactly like the serial funnel."""
+    return jax.vmap(lambda r: _finalize_i16_jit.__wrapped__(
+        r, invert, clip, clip_mode, clip_far, clip_near))(raw)
+
+
 class DepthPredictor:
     """Loads/initializes one depth model and runs jit-compiled inference."""
 
@@ -377,6 +386,44 @@ class DepthPredictor:
             i16 = _finalize_i16_jit(raw, self.raw_prediction_invert,
                                     bool(clip), str(clip_mode),
                                     float(clip_far), float(clip_near))
+        return np.array(i16)
+
+    def predict_finalized_batch(self, imgs01: np.ndarray,
+                                net_w: Optional[int] = None,
+                                net_h: Optional[int] = None, *,
+                                clip: bool = False,
+                                clip_mode: str = "Range",
+                                clip_far: float = 0.0,
+                                clip_near: float = 1.0,
+                                resize_mode: Optional[str] = None
+                                ) -> np.ndarray:
+        """Batched fused funnel path: (N, H, W, 3) same-shape stack ->
+        (N, H, W) uint16, one forward dispatch for the whole batch, each
+        frame finalized against its own min/max.  Matches the serial
+        predict_finalized up to conv-batching reassociation in the compute
+        dtype (f32: within the i16 quantum; bf16: ~1 ULP of the raw
+        prediction); the finalize itself vmaps per frame, so normalization
+        is per-image exactly like the serial path."""
+        if net_w is None or net_h is None:
+            net_w, net_h = self.spec.default_net_size
+        imgs01 = np.asarray(imgs01, np.float32)
+        if self.model_type == 10:
+            return np.stack([
+                self.predict_finalized(f, net_w, net_h, clip=clip,
+                                       clip_mode=clip_mode,
+                                       clip_far=clip_far,
+                                       clip_near=clip_near,
+                                       resize_mode=resize_mode)
+                for f in imgs01])
+        xs = np.concatenate([self._prep(f, net_w, net_h, resize_mode)
+                             for f in imgs01], axis=0)
+        out_h, out_w = imgs01.shape[1:3]
+        net_size = (net_h, net_w) if self.bundle.prep_in_model else None
+        raw = self._apply(self._shard_batch(xs), out_h, out_w, net_size)
+        with self._device_scope():
+            i16 = _finalize_i16_batch_jit(raw, self.raw_prediction_invert,
+                                          bool(clip), str(clip_mode),
+                                          float(clip_far), float(clip_near))
         return np.array(i16)
 
     def predict_batch(self, imgs01: np.ndarray, net_w: Optional[int] = None,

@@ -137,3 +137,15 @@ def test_ddim_schedule_matches_sd2_config():
     want = (np.sqrt(a_prev) * np.sqrt(a_t) +
             np.sqrt(1 - a_prev) * np.sqrt(1 - a_t))
     np.testing.assert_allclose(prev, want, rtol=1e-6)
+
+
+def test_marigold_odd_latent_sizes(rng):
+    """Latent dims not divisible by 2^levels must work: the up path resizes
+    to the skip's spatial size (diffusers forward_upsample_size semantics),
+    not blind 2x.  48x64 @ res 64 -> latent (6, 8): 6 -> 3 -> 2 down."""
+    from depthmap_tpu.models.marigold.pipeline import build_marigold_pipeline
+    pipe = build_marigold_pipeline()
+    img = rng.random((48, 64, 3)).astype(np.float32)
+    d = pipe(img, processing_res=64, ensemble_size=2, denoising_steps=2)
+    assert d.shape == (48, 64)
+    assert np.isfinite(d).all()

@@ -224,3 +224,57 @@ def test_predict_finalized_matches_composed_path(rng):
     composed_c = np.array(numerics.convert_to_i16(
         jnp.asarray(np.clip(out_c, 0, 1))))
     np.testing.assert_array_equal(fused_c, composed_c)
+
+
+def test_funnel_batched_fused_matches_serial(rng, tmp_path, monkeypatch):
+    """Same-shape images ride one batched fused dispatch; in f32 the outputs
+    (values AND yield order) match the serial path within the i16 quantum,
+    including with a custom-depthmap image interleaved.  (In the default
+    bf16 policy, batched convs may reassociate by ~1 ULP of the raw
+    prediction — the same property predict_batch has always had; pinned by
+    the tolerance check below.)"""
+    from depthmap_tpu.pipeline.core import PredictorCache
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+
+    imgs = [_img(rng) for _ in range(3)]
+    depths = [None, Image.fromarray(
+        (rng.random((_img(rng).height, _img(rng).width)) * 65535)
+        .astype(np.uint16)), None]
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64,
+                            do_output_depth=True, gen_heatmap=True)
+
+    def run(forced_serial, dtype_env):
+        mp = pytest.MonkeyPatch()
+        try:
+            if dtype_env:
+                mp.setenv("DEPTHMAP_COMPUTE_DTYPE", dtype_env)
+            if forced_serial:
+                def boom(*a, **k):
+                    raise RuntimeError("forced-serial")
+                mp.setattr(DepthPredictor, "predict_finalized_batch", boom)
+            return [(i, t, np.asarray(r)) for i, t, r in
+                    core_generation_funnel(str(tmp_path), imgs, depths,
+                                           None, inp,
+                                           predictor_cache=PredictorCache())]
+        finally:
+            mp.undo()
+
+    batched = run(False, "float32")
+    serial = run(True, "float32")
+    assert [(i, t) for i, t, _ in batched] == [(i, t) for i, t, _ in serial]
+    for (bi, bt, bv), (_, _, sv) in zip(batched, serial):
+        d = np.abs(bv.astype(np.int64) - sv.astype(np.int64)).max()
+        if bt == "depth":
+            assert d <= 1, f"{bi}:{bt} f32 diff {d}"
+        else:   # heatmap: a 1-count i16 tie can hop a LUT bin
+            frac = (np.abs(bv.astype(np.int64) - sv.astype(np.int64)) > 2
+                    ).mean()
+            assert frac < 0.01, f"{bi}:{bt} f32 LUT drift {frac:.4%}"
+
+    # default bf16 policy: bounded reassociation drift only
+    b16 = run(False, None)
+    s16 = run(True, None)
+    for (bi, bt, bv), (_, _, sv) in zip(b16, s16):
+        if bt == "depth":
+            d = np.abs(bv.astype(np.int64) - sv.astype(np.int64)).max()
+            assert d <= 1500, f"{bi}:{bt} bf16 drift {d} i16 counts"
