@@ -63,7 +63,11 @@ def attention_rel_streamed(q, k, v, spec: RelBiasSpec,
     rows_q = jnp.maximum(tq - 1, 0) // gw
     cols_q = jnp.maximum(tq - 1, 0) % gw
     qs = qp.reshape(b, h, nch, chunk, d).transpose(2, 0, 1, 3, 4)
-    table = spec.table.astype(jnp.float32)
+    # gather/stream the bias tiles in the compute dtype: the hoisted-bias
+    # path already stores biases in compute dtype, and the flash kernel
+    # accumulates scores in f32 either way — halves the dominant per-chunk
+    # gather traffic under bf16
+    table = spec.table.astype(q.dtype)
 
     def body(args):
         qc, rqc, cqc, tqc = args
