@@ -226,7 +226,8 @@ def bench_video_e2e_fill_fps(fill: str):
         outs = []
         for i in range(len(preds)):
             d = np.clip(preds[i], 0, 1)
-            i16 = np.asarray(numerics.convert_to_i16(jnp.asarray(d)))
+            # production funnel path: host twin, no device roundtrip
+            i16 = numerics.convert_to_i16_np(d)
             sbs = create_stereoimages(frames_u8[i], i16, 2.5, 0.0,
                                       ["left-right"],
                                       fill_technique=fill)[0]

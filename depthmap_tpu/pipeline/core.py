@@ -326,11 +326,13 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
             else:
                 out = np.zeros(raw_prediction.shape)
 
-        # np.array (writable copy): the rembg mask below mutates in place,
-        # and np.asarray over a jax array is read-only
         if img_output is None:
-            img_output = np.array(numerics.convert_to_i16(jnp.asarray(
-                np.clip(out, 0, 1))))
+            # `out` is host data here (custom-depthmap ingest, or a raw map
+            # already downloaded for host-side use) — the numpy twin is
+            # bit-equal to the device op (test_numerics) and skips a
+            # pointless full-res upload+download per frame (8+4 MB @1080p,
+            # the video custom-depth pass runs this per frame)
+            img_output = numerics.convert_to_i16_np(np.clip(out, 0, 1))
 
         if inp.gen_inpainted_mesh:
             inpaint_imgs.append(img)

@@ -77,3 +77,18 @@ def test_invert_i16():
     x = np.array([[0, 1, 65535]], dtype=np.uint16)
     got = np.asarray(numerics.invert_i16(jnp.asarray(x)))
     np.testing.assert_array_equal(got, [[65535, 65534, 0]])
+
+
+def test_convert_to_i16_np_twin_bit_equal(rng):
+    """The host twin must match the device op bit-for-bit — the funnel uses
+    it for host-resident maps (custom depthmaps, video pass 2)."""
+    import jax.numpy as jnp
+    from depthmap_tpu.ops import numerics
+    arr = rng.random((64, 80)).astype(np.float32)
+    edge = np.array([[0.0, 1.0, 0.5, 1.0 - 2**-17, 2**-17,
+                      0.999984741, 65534.5 / 65536.0, 1e-8]], np.float32)
+    for a in (arr, edge):
+        dev = np.asarray(numerics.convert_to_i16(jnp.asarray(a)))
+        host = numerics.convert_to_i16_np(a)
+        np.testing.assert_array_equal(dev, host)
+        assert host.flags.writeable
