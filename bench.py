@@ -144,7 +144,7 @@ def measure_link_bandwidth():
     dev = jnp.asarray(host)
     dev.block_until_ready()
     up = mb / (time.perf_counter() - t0)
-    _ = np.asarray(dev[:1])
+    _ = np.asarray((dev + 0.5)[:1])   # warm the add program + download path
     t0 = time.perf_counter()
     _ = np.asarray(dev + 1.0)   # distinct value: defeat transfer dedupe
     down = mb / (time.perf_counter() - t0)
@@ -371,15 +371,18 @@ def main():
     headline = bench_depth_fps()
     extra = []
     if os.environ.get("BENCH_SKIP_E2E", "0") != "1":
-        for fn in (measure_link_bandwidth, bench_funnel_e2e_fps,
-                   bench_video_e2e_fps,
-                   lambda: bench_video_e2e_fill_fps("naive"),
-                   lambda: bench_video_e2e_fill_fps("polylines_sharp")):
+        e2e_rows = [("link_bandwidth", measure_link_bandwidth),
+                    ("funnel_e2e", bench_funnel_e2e_fps),
+                    ("video_device_derive", bench_video_e2e_fps),
+                    ("video_e2e_naive",
+                     lambda: bench_video_e2e_fill_fps("naive")),
+                    ("video_e2e_polylines_sharp",
+                     lambda: bench_video_e2e_fill_fps("polylines_sharp"))]
+        for name, fn in e2e_rows:
             try:
                 extra.append(fn())
             except Exception as e:  # the headline line must still print
-                extra.append({"metric": getattr(fn, "__name__", "e2e"),
-                              "error": str(e)})
+                extra.append({"metric": name, "error": str(e)})
     if os.environ.get("BENCH_EXTRA_MODELS", "0") == "1":
         # per-family throughput (opt-in: adds several compiles)
         small = os.environ.get("BENCH_SMALL", "0") == "1"

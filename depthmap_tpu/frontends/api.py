@@ -166,7 +166,10 @@ class Handler(BaseHTTPRequestHandler):
         except ValueError:
             self._send(400, {"detail": "Invalid Content-Length"})
             return
-        if length < 0 or length > self.MAX_BODY_BYTES:
+        if length < 0:
+            self._send(400, {"detail": "Invalid Content-Length"})
+            return
+        if length > self.MAX_BODY_BYTES:
             self._send(413, {"detail":
                              f"Request body over {self.MAX_BODY_BYTES} "
                              "bytes"})

@@ -35,7 +35,8 @@ class RelBiasSpec(NamedTuple):
 
 def attention_rel_streamed(q, k, v, spec: RelBiasSpec,
                            scale: Optional[float] = None,
-                           chunk: int = 512):
+                           chunk: int = 512,
+                           use_flash: Optional[bool] = None):
     """Exact attention with the rel-pos bias resolved per q-chunk.
 
     bias[t1, t2] = table[index(t1, t2)] with index the standard BEiT
@@ -83,7 +84,8 @@ def attention_rel_streamed(q, k, v, spec: RelBiasSpec,
         idx = jnp.clip(idx, 0, num_rel + 2)
         bias_c = table[idx]                       # (chunk, n, H)
         bias_c = bias_c.transpose(2, 0, 1)[None]  # (1, H, chunk, n)
-        if _on_tpu():
+        flash_ok = use_flash if use_flash is not None else _on_tpu()
+        if flash_ok:
             try:
                 from depthmap_tpu.ops.flash_attention import flash_attention
                 return flash_attention(qc, k, v, bias=bias_c, scale=scale)
@@ -140,7 +142,13 @@ def attention(q, k, v, bias: Optional[jax.Array] = None,
     long enough for tiling to pay.  Plain (bias-free) attention stays on
     XLA, which fuses it well at this zoo's lengths."""
     if isinstance(bias, RelBiasSpec):
-        return attention_rel_streamed(q, k, v, bias, scale)
+        # the kill switch / explicit impl govern the per-chunk kernel here
+        # too (the chunked gather itself has no Pallas dependence)
+        override = _flash_override()
+        flash_ok = (impl != "xla" and override is not False
+                    and (impl == "flash" or override is True or _on_tpu()))
+        return attention_rel_streamed(q, k, v, bias, scale,
+                                      use_flash=flash_ok)
     if impl == "xla":
         return attention_xla(q, k, v, bias, scale)
     override = _flash_override()

@@ -79,12 +79,14 @@ def colorize(value: np.ndarray, vmin=None, vmax=None, cmap="inferno",
         img = matplotlib.colormaps[cmap](value, bytes=True)
     else:
         # mpl Colormap.__call__ index rule: xa = x*N; xa[xa==N] = N-1;
-        # under (<0) -> first row, over (>=N) -> last row, NaN -> (0,0,0,0)
+        # under (<0, incl. -inf) -> first row, over (>=N, incl. +inf) ->
+        # last row, NaN (only) -> bad (0,0,0,0)
         tab = _cmap_table(cmap)
         xa = value * 256.0
-        bad = ~np.isfinite(xa)
+        bad = np.isnan(xa)
         xa = np.where(xa == 256.0, 255.0, xa)
-        idx = np.clip(np.nan_to_num(xa), 0, 255).astype(np.int32)
+        xa = np.nan_to_num(xa, nan=0.0, posinf=255.0, neginf=0.0)
+        idx = np.clip(xa, 0, 255).astype(np.int32)
         img = tab[idx]
         img[bad] = (0, 0, 0, 0)
     img[invalid_mask] = background_color

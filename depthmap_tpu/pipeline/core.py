@@ -140,6 +140,16 @@ def _ingest_custom_depthmap(dp, target_w: int, target_h: int) -> np.ndarray:
     return out
 
 
+def _funnel_net_size(inp, w: int, h: int):
+    """Net size for one image: the UI's net-size-match rounds the source
+    dims up to multiples of 32 (reference common_ui.py net size logic);
+    otherwise the explicit sliders apply.  Single source of truth for the
+    serial loop AND the batched pre-pass."""
+    if inp.net_size_match:
+        return (w + 31) // 32 * 32, (h + 31) // 32 * 32
+    return inp.net_width, inp.net_height
+
+
 def core_generation_funnel(outpath: Optional[str], inputimages: List,
                            inputdepthmaps: Optional[List] = None,
                            inputnames: Optional[List] = None,
@@ -209,29 +219,35 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
     # the serial path, which re-raises with the funnel's OOM advice.
     # DEPTHMAP_FUNNEL_BATCH<2 disables the pre-pass.
     fused_batch: Dict[int, np.ndarray] = {}
+    rgb_cache: Dict[int, np.ndarray] = {}
     fused_eligible = (predictor is not None and not inp.boost
                       and not inp.do_output_depth_prediction
                       and not inp.gen_simple_mesh
                       and len(inputimages) > 1)
     if fused_eligible:
-        groups: Dict[Tuple[int, int], list] = {}
-        for count, image in enumerate(inputimages):
-            if inputdepthmaps[count] is not None:
-                continue
-            arr = np.asarray(_to_rgb(image))
-            groups.setdefault(arr.shape[:2], []).append((count, arr))
         import os
         chunk = int(os.environ.get("DEPTHMAP_FUNNEL_BATCH", "8"))
-        if chunk < 2:
-            groups = {}
+        # bound the pre-pass's host footprint (RGB cache + i16 maps held
+        # until the consumer loop pops them); past the cap the serial loop
+        # streams one image at a time instead
+        max_bytes = int(os.environ.get("DEPTHMAP_FUNNEL_BATCH_MAX_BYTES",
+                                       str(1 << 30)))
+        total = sum(5 * im.height * im.width if isinstance(im, Image.Image)
+                    else 5 * np.asarray(im).shape[0] * np.asarray(im).shape[1]
+                    for im in inputimages)     # 3 B rgb + 2 B i16 per px
+        groups: Dict[Tuple[int, int], list] = {}
+        if chunk >= 2 and total <= max_bytes:
+            for count, image in enumerate(inputimages):
+                if inputdepthmaps[count] is not None:
+                    continue
+                arr = np.asarray(_to_rgb(image))
+                rgb_cache[count] = arr
+                groups.setdefault(arr.shape[:2], []).append((count, arr))
         try:
             for (h, w), members in groups.items():
                 if len(members) < 2:
                     continue
-                if inp.net_size_match:
-                    nw_, nh_ = (w + 31) // 32 * 32, (h + 31) // 32 * 32
-                else:
-                    nw_, nh_ = inp.net_width, inp.net_height
+                nw_, nh_ = _funnel_net_size(inp, w, h)
                 for i in range(0, len(members), chunk):
                     part = members[i:i + chunk]
                     stack = np.stack([m[1] for m in part]).astype(
@@ -249,7 +265,9 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
             fused_batch.clear()
 
     for count, image in enumerate(inputimages):
-        img = np.asarray(_to_rgb(image))
+        img = rgb_cache.pop(count, None)
+        if img is None:
+            img = np.asarray(_to_rgb(image))
         h, w = img.shape[:2]
 
         raw_prediction = None
@@ -258,11 +276,7 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
         if inputdepthmaps[count] is not None:
             out = _ingest_custom_depthmap(inputdepthmaps[count], w, h)
         else:
-            if inp.net_size_match:
-                net_width = (w + 31) // 32 * 32
-                net_height = (h + 31) // 32 * 32
-            else:
-                net_width, net_height = inp.net_width, inp.net_height
+            net_width, net_height = _funnel_net_size(inp, w, h)
             img01 = img.astype(np.float32) / 255.0
             from depthmap_tpu.utils.profiling import stage
             try:

@@ -189,10 +189,16 @@ class MeshRenderer:
     (faster, softer silhouettes — quantified in PARITY.md).
     """
 
+    # footprint ladder: K re-measured per frame (faces grow under zoom /
+    # dolly fov changes); quantized so a trajectory compiles at most a
+    # handful of raster programs, and monotonic so K never shrinks back
+    _K_LADDER = (3, 4, 6, 8, 12, 16)
+
     def __init__(self, verts, colors, faces, fov_rad: float,
                  canvas_size: int, ssaa: int = 1,
                  method: str = "triangles"):
         self.verts = jnp.asarray(verts, jnp.float32)
+        self._verts_np = np.asarray(verts, np.float32)
         colors = np.asarray(colors, np.float32)
         if colors.max() > 1.0 + 1e-6:
             colors = colors / 255.0
@@ -203,42 +209,52 @@ class MeshRenderer:
         self.method = method
         faces = np.asarray(faces, np.int64)
         if method == "triangles" and len(faces):
-            self._K = self._measure_footprint(np.asarray(verts, np.float32),
-                                              faces)
-            # ~1M taps per chunk keeps scatter operands modest on both
-            # backends; chunk must divide the padded face count
-            self._chunk = max(256, (1 << 20) // (self._K * self._K))
-            pad = (-len(faces)) % self._chunk
-            if pad:
-                faces = np.concatenate(
-                    [faces, np.zeros((pad, 3), np.int64)])
-            self.faces = jnp.asarray(faces, jnp.int32)
+            self._faces_np = faces
+            self._K = 0
+            self._set_K(self._measure_footprint(np.zeros(3), self.fov_rad))
         else:
             self.method = "splat"
             self.faces = None
 
-    def _measure_footprint(self, verts: np.ndarray,
-                           faces: np.ndarray) -> int:
-        """Static KxK tap block per face: p99.9 projected bbox extent at the
-        rest camera + margin for trajectory parallax.  Oversized faces (past
-        tears the LDI already bridges with background layers) are dropped at
-        render time rather than partially drawn."""
-        thf = float(np.tan(self.fov_rad / 2.0))
-        z = -verts[:, 2]
+    def _set_K(self, k: int) -> None:
+        if k <= self._K:
+            return
+        self._K = k
+        # ~1M taps per chunk keeps scatter operands modest on both
+        # backends; chunk must divide the padded face count
+        self._chunk = max(256, (1 << 20) // (k * k))
+        faces = self._faces_np
+        pad = (-len(faces)) % self._chunk
+        if pad:
+            faces = np.concatenate([faces, np.zeros((pad, 3), np.int64)])
+        self.faces = jnp.asarray(faces, jnp.int32)
+
+    def _measure_footprint(self, cam_t, fov: float) -> int:
+        """KxK tap block per face at THIS camera: p99.9 projected bbox
+        extent + margin, snapped up to the ladder.  Oversized faces (past
+        tears the LDI already bridges with background layers) are dropped
+        at render time rather than partially drawn."""
+        thf = float(np.tan(fov / 2.0))
+        p = self._verts_np - np.asarray(cam_t, np.float32)
+        z = -p[:, 2]
         zs = np.where(z > 1e-6, z, 1.0)
-        px = (verts[:, 0] / zs / thf * 0.5 + 0.5) * (self.size - 1)
-        py = (0.5 - verts[:, 1] / zs / thf * 0.5) * (self.size - 1)
-        fx = px[faces]
-        fy = py[faces]
+        px = (p[:, 0] / zs / thf * 0.5 + 0.5) * (self.size - 1)
+        py = (0.5 - p[:, 1] / zs / thf * 0.5) * (self.size - 1)
+        fx = px[self._faces_np]
+        fy = py[self._faces_np]
         ext = np.maximum(fx.max(1) - fx.min(1), fy.max(1) - fy.min(1))
-        k = int(np.ceil(np.percentile(ext, 99.9))) + 3
-        return int(np.clip(k, 3, 16))
+        k = int(np.clip(int(np.ceil(np.percentile(ext, 99.9))) + 3, 3, 16))
+        for lk in self._K_LADDER:
+            if k <= lk:
+                return lk
+        return self._K_LADDER[-1]
 
     def render(self, cam_t, fov_rad: Optional[float] = None) -> np.ndarray:
         fov = fov_rad if fov_rad is not None else self.fov_rad
         thf = float(np.tan(fov / 2.0))
         cam = jnp.asarray(cam_t, jnp.float32)
         if self.method == "triangles":
+            self._set_K(self._measure_footprint(cam_t, fov))
             img = _raster(self.verts, self.colors, self.faces, cam, thf,
                           self.size, self._K, self._chunk)
         else:

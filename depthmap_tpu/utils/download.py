@@ -193,9 +193,10 @@ def ensure_file_downloaded(filename: str,
     for entries with no recorded hash."""
     expected = _expected_hash(filename, sha256_hash_prefix)
     if os.path.exists(filename):
-        if sha256_prefix_ok(filename, expected):
+        digest = _sha256_file(filename)
+        if not expected or digest.startswith(expected):
             if _read_pin(filename) is None:
-                _write_pin(filename, _sha256_file(filename))
+                _write_pin(filename, digest)
             return filename
         if sha256_hash_prefix is None and _read_pin(filename) is not None:
             raise RuntimeError(
@@ -212,9 +213,10 @@ def ensure_file_downloaded(filename: str,
                 tmp_name = tmp.name
                 with urllib.request.urlopen(u, timeout=60) as r:
                     shutil.copyfileobj(r, tmp)
-            if sha256_prefix_ok(tmp_name, expected):
+            digest = _sha256_file(tmp_name)
+            if not expected or digest.startswith(expected):
                 shutil.move(tmp_name, filename)
-                _write_pin(filename, _sha256_file(filename))
+                _write_pin(filename, digest)
                 return filename
             last_err = ValueError(f"sha256 mismatch for {u}")
         except Exception as e:  # network failure -> next mirror

@@ -31,3 +31,21 @@ def test_heatmap_fallback_invalid_and_edges(monkeypatch):
     without_mpl = H.colorize(v, vmin=0.0, vmax=1.0)
     np.testing.assert_array_equal(with_mpl, without_mpl)
     assert tuple(with_mpl[0, 0]) == (128, 128, 128, 255)
+
+
+def test_fallback_inf_semantics_match_mpl(rng):
+    """+inf -> over (last LUT color), -inf -> under (first), NaN -> bad —
+    matplotlib Colormap semantics, pinned for the mpl-free fallback."""
+    import matplotlib
+    from depthmap_tpu.ops import heatmap as hm
+    v = rng.random((8, 8)).astype(np.float64)
+    v[0, 0], v[0, 1], v[0, 2] = np.inf, -np.inf, np.nan
+    with_mpl = hm.colorize(v.copy(), vmin=0.0, vmax=1.0)
+    had = hm._HAVE_MPL
+    try:
+        hm._HAVE_MPL = False
+        hm._cmap_table.cache_clear()
+        without = hm.colorize(v.copy(), vmin=0.0, vmax=1.0)
+    finally:
+        hm._HAVE_MPL = had
+    np.testing.assert_array_equal(with_mpl, without)

@@ -165,3 +165,25 @@ def test_splat_path_unchanged():
     img = r.render(np.zeros(3))
     assert img.shape == (48, 48, 3)
     assert img.std() > 1.0
+
+
+def test_footprint_grows_with_zoom():
+    """A dolly/zoom that grows faces past the init-time footprint must not
+    drop them (K re-measures per frame, monotonic ladder) — the round-3
+    review caught the static-K hole."""
+    from depthmap_tpu.pipeline.render import MeshRenderer
+    verts = np.array([[0.0, 0.0, -4.0], [0.3, 0.0, -4.0],
+                      [0.0, 0.3, -4.0]], np.float32)
+    colors = np.array([[1, 0, 0]] * 3, np.float32)
+    faces = np.array([[0, 1, 2]])
+    r = MeshRenderer(verts, colors, faces, np.pi / 2, 48, ssaa=1,
+                     method="triangles")
+    k0 = r._K
+    far = r.render(np.zeros(3))
+    assert (far[..., 0] > 128).any()
+    # dolly in: camera z -3.2 -> face 5x larger on screen
+    near = r.render(np.array([0.0, 0.0, -3.2]))
+    assert r._K >= k0
+    n_red_far = (far[..., 0] > 128).sum()
+    n_red_near = (near[..., 0] > 128).sum()
+    assert n_red_near > 4 * n_red_far, (n_red_far, n_red_near)
