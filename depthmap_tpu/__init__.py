@@ -41,6 +41,26 @@ def _enable_persistent_compile_cache():
         pass
 
 
+def _apply_platform_override():
+    """DEPTHMAP_PLATFORM=cpu|tpu pins the JAX backend before first init.
+
+    Some accelerator plugins (e.g. remote-tunnel TPUs) prepend themselves to
+    the platform list and ignore the JAX_PLATFORMS environment variable, so
+    the only reliable off-accelerator switch is `jax.config.update` before
+    any backend initialization.  This keeps the CLI/API/UI usable on the
+    host when the accelerator is absent or unreachable."""
+    import os
+    platform = os.environ.get("DEPTHMAP_PLATFORM")
+    if not platform:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", platform.lower())
+    except Exception:
+        pass
+
+
+_apply_platform_override()
 _enable_persistent_compile_cache()
 
 from depthmap_tpu.options import GenerationOptions  # noqa: F401,E402

@@ -221,8 +221,11 @@ class MeshRenderer:
             return
         self._K = k
         # ~1M taps per chunk keeps scatter operands modest on both
-        # backends; chunk must divide the padded face count
-        self._chunk = max(256, (1 << 20) // (k * k))
+        # backends; chunk must divide the padded face count.  Cap the face
+        # count per chunk too: at K=3 an uncapped 1M-tap chunk is 116k
+        # faces wide and the resulting scatter failed server-side
+        # compilation on v5e (65536 is the measured-good width)
+        self._chunk = min(max(256, (1 << 20) // (k * k)), 65536)
         faces = self._faces_np
         pad = (-len(faces)) % self._chunk
         if pad:
