@@ -448,6 +448,36 @@ class DepthPredictor:
         return np.asarray(self._apply(self._shard_batch(xs),
                                       out_h, out_w, net_size))
 
+    def predict_batch_stream(self, stacks, net_w: Optional[int] = None,
+                             net_h: Optional[int] = None,
+                             resize_mode: Optional[str] = None):
+        """Pipelined `predict_batch` over an iterable of same-shape
+        (N, H, W, 3) stacks.  JAX dispatch is asynchronous, so the next
+        chunk's preprocessing + forward dispatch happen BEFORE the previous
+        chunk's device->host download blocks — transfers overlap device
+        compute with one chunk in flight.  Yields (N, H, W) float32 arrays
+        in input order.  (The reference runs video frames strictly
+        serially, src/video_mode.py:148.)"""
+        if net_w is None or net_h is None:
+            net_w, net_h = self.spec.default_net_size
+        if self.model_type == 10:   # Marigold: no single jittable forward
+            for stack in stacks:
+                yield self.predict_batch(stack, net_w, net_h, resize_mode)
+            return
+        pending = None
+        for stack in stacks:
+            stack = np.asarray(stack, np.float32)
+            xs = np.concatenate([self._prep(f, net_w, net_h, resize_mode)
+                                 for f in stack], axis=0)
+            out_h, out_w = stack.shape[1:3]
+            net_size = (net_h, net_w) if self.bundle.prep_in_model else None
+            dev = self._apply(self._shard_batch(xs), out_h, out_w, net_size)
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = dev
+        if pending is not None:
+            yield np.asarray(pending)
+
     @staticmethod
     def _shard_batch(xs: np.ndarray):
         """Multi-chip: split the frame batch over the mesh data axis (frames

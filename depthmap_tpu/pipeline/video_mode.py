@@ -284,17 +284,24 @@ def _predict_video_depths(input_images, inp, predictor_cache,
             net_w, net_h = inp_.net_width, inp_.net_height
         frames = np.stack([np.asarray(im.convert("RGB"), np.float32) / 255.0
                            for im in input_images])
-        preds = []
-        for i in range(0, len(frames), chunk):
-            blk = frames[i:i + chunk]
-            n = blk.shape[0]
-            if n < chunk:
-                # pad the ragged tail to the chunk: one compiled batch shape
-                # for any video length (a fresh XLA program per tail size
-                # costs tens of seconds on TPU)
-                blk = np.concatenate(
-                    [blk, np.repeat(blk[-1:], chunk - n, axis=0)], axis=0)
-            preds.append(predictor.predict_batch(blk, net_w, net_h)[:n])
+        starts = list(range(0, len(frames), chunk))
+        counts = [min(chunk, len(frames) - s) for s in starts]
+
+        def blocks():
+            for s, n in zip(starts, counts):
+                blk = frames[s:s + n]
+                if n < chunk:
+                    # pad the ragged tail to the chunk: one compiled batch
+                    # shape for any video length (a fresh XLA program per
+                    # tail size costs tens of seconds on TPU)
+                    blk = np.concatenate(
+                        [blk, np.repeat(blk[-1:], chunk - n, axis=0)],
+                        axis=0)
+                yield blk
+
+        # pipelined: chunk i+1's forward is in flight while chunk i downloads
+        preds = [p[:n] for p, n in zip(
+            predictor.predict_batch_stream(blocks(), net_w, net_h), counts)]
         preds = np.concatenate(preds, axis=0)
         if predictor.raw_prediction_invert:
             preds = -preds

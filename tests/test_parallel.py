@@ -42,6 +42,20 @@ def test_sharded_predict_batch_matches_single(rng):
     np.testing.assert_allclose(batch_out[0], single, atol=5e-3)
 
 
+def test_predict_batch_stream_matches_predict_batch(rng):
+    """The pipelined stream (one chunk in flight) yields bit-identical
+    results to serial predict_batch calls — same compiled program, same
+    chunk shapes, only the dispatch/download interleaving differs."""
+    from depthmap_tpu.pipeline.depth import DepthPredictor
+    pred = DepthPredictor(6)
+    chunks = [rng.random((2, 64, 64, 3)).astype(np.float32)
+              for _ in range(3)]
+    streamed = list(pred.predict_batch_stream(iter(chunks), 64, 64))
+    assert len(streamed) == 3
+    for got, blk in zip(streamed, chunks):
+        np.testing.assert_array_equal(got, pred.predict_batch(blk, 64, 64))
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

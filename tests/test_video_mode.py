@@ -70,6 +70,32 @@ def test_gen_video_end_to_end(tmp_path):
     assert gifs
 
 
+def test_predict_video_depths_multichunk_ragged(rng):
+    """Pass 1 with more frames than the chunk size: the pipelined chunked
+    path (incl. the padded ragged tail) matches an unchunked batch call
+    frame for frame."""
+    from depthmap_tpu.pipeline.core import PredictorCache
+    n, h, w = 5, 48, 64
+    frames = [Image.fromarray((rng.random((h, w, 3)) * 255).astype(np.uint8))
+              for _ in range(n)]
+    inp = GenerationOptions(model_type=6, net_width=64, net_height=64)
+    cache = PredictorCache()
+    preds = vm._predict_video_depths(frames, inp, cache, chunk=2)
+    assert len(preds) == n
+    pred = cache.get(6)
+    stack = np.stack([np.asarray(f, np.float32) / 255.0 for f in frames])
+    # serial reference with the SAME chunk shapes (incl. the padded tail):
+    # identical compiled program -> bit-equal
+    want = np.concatenate([
+        pred.predict_batch(stack[0:2], 64, 64),
+        pred.predict_batch(stack[2:4], 64, 64),
+        pred.predict_batch(np.repeat(stack[4:5], 2, axis=0), 64, 64)[:1],
+    ])
+    if pred.raw_prediction_invert:
+        want = -want
+    np.testing.assert_array_equal(np.stack(preds), want)
+
+
 def test_depth_video_roundtrip_fallback(tmp_path):
     """I;16 depth frames -> frames_to_video -> re-ingest: bit-equal.
     Without pyav the encoder falls back to a 16-bit PNG sequence; with pyav
