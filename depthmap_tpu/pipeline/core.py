@@ -244,6 +244,16 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                 rgb_cache[count] = arr
                 groups.setdefault(arr.shape[:2], []).append((count, arr))
         try:
+            # pipelined: keep one chunk's forward in flight while the
+            # previous chunk's uint16 maps download (same overlap the video
+            # pass-1 stream uses)
+            pending = None     # (part, device uint16 stack) or None
+
+            def _drain(p):
+                part_, dev_ = p
+                for (idx, _), m16 in zip(part_, np.asarray(dev_)):
+                    fused_batch[idx] = np.array(m16)
+
             for (h, w), members in groups.items():
                 if len(members) < 2:
                     continue
@@ -252,13 +262,27 @@ def core_generation_funnel(outpath: Optional[str], inputimages: List,
                     part = members[i:i + chunk]
                     stack = np.stack([m[1] for m in part]).astype(
                         np.float32) / 255.0
-                    i16s = predictor.predict_finalized_batch(
+                    if predictor.model_type == 10:   # Marigold: no single
+                        # jittable forward; the serial fallback inside
+                        # predict_finalized_batch handles it
+                        for (idx, _), m16 in zip(
+                                part, predictor.predict_finalized_batch(
+                                    stack, nw_, nh_, clip=inp.clipdepth,
+                                    clip_mode=inp.clipdepth_mode,
+                                    clip_far=inp.clipdepth_far,
+                                    clip_near=inp.clipdepth_near)):
+                            fused_batch[idx] = np.array(m16)
+                        continue
+                    dev = predictor._dispatch_finalized_batch(
                         stack, nw_, nh_, clip=inp.clipdepth,
                         clip_mode=inp.clipdepth_mode,
                         clip_far=inp.clipdepth_far,
                         clip_near=inp.clipdepth_near)
-                    for (idx, _), m16 in zip(part, i16s):
-                        fused_batch[idx] = np.array(m16)
+                    if pending is not None:
+                        _drain(pending)
+                    pending = (part, dev)
+            if pending is not None:
+                _drain(pending)
         except Exception as e:
             print(f"batched depth fast path unavailable ({e}); "
                   "falling back to serial prediction")

@@ -415,16 +415,29 @@ class DepthPredictor:
                                        clip_near=clip_near,
                                        resize_mode=resize_mode)
                 for f in imgs01])
+        return np.array(self._dispatch_finalized_batch(
+            imgs01, net_w, net_h, clip=clip, clip_mode=clip_mode,
+            clip_far=clip_far, clip_near=clip_near,
+            resize_mode=resize_mode))
+
+    def _dispatch_finalized_batch(self, imgs01: np.ndarray, net_w: int,
+                                  net_h: int, *, clip: bool,
+                                  clip_mode: str, clip_far: float,
+                                  clip_near: float,
+                                  resize_mode: Optional[str] = None):
+        """Async half of predict_finalized_batch: returns the uint16 stack
+        as a DEVICE array (dispatch only, no blocking download) so callers
+        can keep the next chunk's forward in flight while this one
+        downloads."""
         xs = np.concatenate([self._prep(f, net_w, net_h, resize_mode)
                              for f in imgs01], axis=0)
         out_h, out_w = imgs01.shape[1:3]
         net_size = (net_h, net_w) if self.bundle.prep_in_model else None
         raw = self._apply(self._shard_batch(xs), out_h, out_w, net_size)
         with self._device_scope():
-            i16 = _finalize_i16_batch_jit(raw, self.raw_prediction_invert,
-                                          bool(clip), str(clip_mode),
-                                          float(clip_far), float(clip_near))
-        return np.array(i16)
+            return _finalize_i16_batch_jit(raw, self.raw_prediction_invert,
+                                           bool(clip), str(clip_mode),
+                                           float(clip_far), float(clip_near))
 
     def predict_batch(self, imgs01: np.ndarray, net_w: Optional[int] = None,
                       net_h: Optional[int] = None,
