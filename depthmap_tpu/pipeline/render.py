@@ -224,8 +224,13 @@ class MeshRenderer:
         # backends; chunk must divide the padded face count.  Cap the face
         # count per chunk too: at K=3 an uncapped 1M-tap chunk is 116k
         # faces wide and the resulting scatter failed server-side
-        # compilation on v5e (65536 is the measured-good width)
-        self._chunk = min(max(256, (1 << 20) // (k * k)), 65536)
+        # compilation on v5e (65536 is the measured-good width).  XLA
+        # compile time grows with the scatter operand, so a smaller chunk
+        # trades first-render latency for a few extra loop iterations —
+        # tunable via DEPTHMAP_RASTER_CHUNK.
+        import os
+        cap = int(os.environ.get("DEPTHMAP_RASTER_CHUNK", "65536"))
+        self._chunk = min(max(256, (1 << 20) // (k * k)), max(256, cap))
         faces = self._faces_np
         pad = (-len(faces)) % self._chunk
         if pad:
