@@ -27,13 +27,34 @@ from depthmap_tpu.models.marigold.vae import VAE_SCALE, Decoder, Encoder
 
 
 class MarigoldPipeline:
-    def __init__(self, variables: Optional[dict] = None, seed: int = 0):
+    compute_dtype = jnp.dtype(jnp.float32)   # class default; __init__ overrides
+
+    def __init__(self, variables: Optional[dict] = None, seed: int = 0,
+                 compute_dtype=None):
         self.encoder = Encoder()
         self.decoder = Decoder()
         self.unet = MarigoldUNet()
         self.scheduler = DDIMScheduler()
+        # Opt-in mixed precision (DEPTHMAP_MARIGOLD_DTYPE=bfloat16): the
+        # VAE/UNet run in the reduced dtype while the DDIM latent state and
+        # scheduler arithmetic stay f32 — the same selective split that
+        # holds ZoeDepth's drift down (PARITY.md).  The reference keeps
+        # Marigold out of its fp16 table (depthmap_generation.py:262-276),
+        # so f32 stays the default here.
+        if compute_dtype is None:
+            import os
+            env = os.environ.get("DEPTHMAP_MARIGOLD_DTYPE")
+            compute_dtype = jnp.dtype(env) if env else jnp.float32
+        self.compute_dtype = jnp.dtype(compute_dtype)
         if variables is None:
             variables = self._random_init(seed)
+        if self.compute_dtype != jnp.float32:
+            def _cast(x):
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating):
+                    return jnp.asarray(x, self.compute_dtype)
+                return x
+            variables = jax.tree_util.tree_map(_cast, variables)
         self.vars = variables
         self._enc = jax.jit(self.encoder.apply)
         self._dec = jax.jit(self.decoder.apply)
@@ -64,9 +85,12 @@ class MarigoldPipeline:
         ``rng`` is either one key (shared stream, independent noise per batch
         element) or a stack of N keys (one independent stream per ensemble
         member — the batched-ensemble path)."""
-        rgb_norm = jnp.asarray(rgb01) * 2.0 - 1.0
+        cdt = self.compute_dtype
+        rgb_norm = (jnp.asarray(rgb01) * 2.0 - 1.0).astype(cdt)
         mean, _ = self._enc(self.vars["encoder"], rgb_norm)
-        rgb_latent = mean * VAE_SCALE
+        # latent state + scheduler arithmetic stay f32 even in mixed
+        # precision; only the net calls see the reduced dtype
+        rgb_latent = (mean * VAE_SCALE).astype(jnp.float32)
 
         n, lh, lw, _ = rgb_latent.shape
         if rng.ndim > 1:   # per-member keys, vmapped draw
@@ -77,17 +101,22 @@ class MarigoldPipeline:
         else:
             depth_latent = jax.random.normal(rng, (n, lh, lw, 4),
                                              dtype=rgb_latent.dtype)
-        ctx = jnp.broadcast_to(self.vars["empty_text_embed"], (n, 77, 1024))
+        ctx = jnp.broadcast_to(self.vars["empty_text_embed"],
+                               (n, 77, 1024)).astype(cdt)
 
         timesteps = self.scheduler.set_timesteps(denoising_steps)
         for t in timesteps:
-            unet_in = jnp.concatenate([rgb_latent, depth_latent], axis=-1)
+            unet_in = jnp.concatenate(
+                [rgb_latent, depth_latent], axis=-1).astype(cdt)
             noise_pred = self._unet(self.vars["unet"], unet_in,
-                                    jnp.full((n,), t, jnp.int32), ctx)
+                                    jnp.full((n,), t, jnp.int32),
+                                    ctx).astype(jnp.float32)
             depth_latent, _ = self.scheduler.step(noise_pred, int(t),
                                                   depth_latent)
 
-        depth = self._dec(self.vars["decoder"], depth_latent / VAE_SCALE)
+        depth = self._dec(self.vars["decoder"],
+                          (depth_latent / VAE_SCALE).astype(cdt))
+        depth = depth.astype(jnp.float32)
         depth = jnp.mean(depth, axis=-1)          # channel mean (:353)
         depth = jnp.clip(depth * 0.5 + 0.5, 0.0, 1.0)
         return np.asarray(depth)

@@ -139,6 +139,24 @@ def test_ddim_schedule_matches_sd2_config():
     np.testing.assert_allclose(prev, want, rtol=1e-6)
 
 
+def test_marigold_mixed_precision_close_to_f32(rng):
+    """DEPTHMAP_MARIGOLD_DTYPE=bfloat16 runs the nets reduced with f32
+    latent state/scheduler; on identical weights + RNG the ensemble output
+    stays close to the f32 run (it is a precision-only perturbation)."""
+    from depthmap_tpu.models.marigold.pipeline import MarigoldPipeline
+    ref = MarigoldPipeline(seed=0)
+    img = rng.random((40, 40, 3)).astype(np.float32)
+    d32 = ref(img, processing_res=32, ensemble_size=2, denoising_steps=2)
+    mixed = MarigoldPipeline(variables=ref.vars, seed=0,
+                             compute_dtype=jnp.bfloat16)
+    assert mixed.compute_dtype == jnp.bfloat16
+    d16 = mixed(img, processing_res=32, ensemble_size=2, denoising_steps=2)
+    assert d16.shape == d32.shape and np.isfinite(d16).all()
+    # both outputs are [0,1]-normalized; random-init nets make this noisy,
+    # so the bar is agreement, not parity
+    assert np.abs(d16 - d32).mean() < 0.15
+
+
 def test_marigold_odd_latent_sizes(rng):
     """Latent dims not divisible by 2^levels must work: the up path resizes
     to the skip's spatial size (diffusers forward_upsample_size semantics),
