@@ -48,6 +48,15 @@ class MarigoldPipeline:
         self.compute_dtype = jnp.dtype(compute_dtype)
         if variables is None:
             variables = self._random_init(seed)
+        self.set_variables(variables)
+        self._enc = jax.jit(self.encoder.apply)
+        self._dec = jax.jit(self.decoder.apply)
+        self._unet = jax.jit(self.unet.apply)
+
+    def set_variables(self, variables: dict) -> None:
+        """Attach (converted) weights, applying the compute-dtype policy —
+        use this instead of assigning ``.vars`` so mixed precision survives
+        a post-construction weight load."""
         if self.compute_dtype != jnp.float32:
             def _cast(x):
                 if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
@@ -56,9 +65,6 @@ class MarigoldPipeline:
                 return x
             variables = jax.tree_util.tree_map(_cast, variables)
         self.vars = variables
-        self._enc = jax.jit(self.encoder.apply)
-        self._dec = jax.jit(self.decoder.apply)
-        self._unet = jax.jit(self.unet.apply)
 
     def _random_init(self, seed):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)

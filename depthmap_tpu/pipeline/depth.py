@@ -190,7 +190,8 @@ class DepthPredictor:
             try:
                 from depthmap_tpu.models.marigold.convert import \
                     load_marigold_checkpoint
-                self.bundle.module.vars = load_marigold_checkpoint(model_dir)
+                self.bundle.module.set_variables(
+                    load_marigold_checkpoint(model_dir))
             except FileNotFoundError:
                 pass
 
