@@ -81,7 +81,27 @@ def resolve_model_type(model_type) -> int:
     raise KeyError(f"Unknown model type {model_type!r}")
 
 
+# Reference-exact defaults for the ZoeDepth family (types 7-9).  The
+# reference's get_default_net_size (depthmap_generation.py:323-339) returns
+# [384, 512]/[384, 768]/[384, 512], which its UI consumes as [width, height]
+# — but those pairs are the dzoedepth config img_size values, which are
+# [height, width] (config_zoedepth.json "img_size": [384, 512]).  Our
+# registry fixes the orientation (512x384 etc.); users who need the
+# reference's literal default output can set DEPTHMAP_REFERENCE_DEFAULTS=1
+# to restore the reference's (w, h) unpacking.  Documented in PARITY.md
+# (round-3 deviation record) and README.
+_REFERENCE_NET_SIZES = {7: (384, 512), 8: (384, 768), 9: (384, 512)}
+
+
+def reference_defaults_enabled() -> bool:
+    import os
+    return os.environ.get("DEPTHMAP_REFERENCE_DEFAULTS", "0") not in (
+        "0", "", "false", "False")
+
+
 def get_default_net_size(model_type) -> Tuple[int, int]:
     """(width, height) — parity with depthmap_generation.py:304."""
-    spec = MODELS[resolve_model_type(model_type)]
-    return spec.default_net_size
+    mid = resolve_model_type(model_type)
+    if mid in _REFERENCE_NET_SIZES and reference_defaults_enabled():
+        return _REFERENCE_NET_SIZES[mid]
+    return MODELS[mid].default_net_size

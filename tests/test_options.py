@@ -43,6 +43,23 @@ def test_registry_ids_and_names():
     assert get_default_net_size(12) == (518, 518)
 
 
+def test_reference_defaults_flag(monkeypatch):
+    # DEPTHMAP_REFERENCE_DEFAULTS=1 restores the reference's literal
+    # (w, h) unpacking for ZoeDepth types 7-9
+    # (depthmap_generation.py:323-339 returns the dzoedepth config
+    # img_size [h, w] pairs but consumes them as [w, h]).
+    monkeypatch.delenv("DEPTHMAP_REFERENCE_DEFAULTS", raising=False)
+    assert get_default_net_size(7) == (512, 384)
+    assert get_default_net_size(8) == (768, 384)
+    assert get_default_net_size(9) == (512, 384)
+    monkeypatch.setenv("DEPTHMAP_REFERENCE_DEFAULTS", "1")
+    assert get_default_net_size(7) == (384, 512)
+    assert get_default_net_size(8) == (384, 768)
+    assert get_default_net_size(9) == (384, 512)
+    # non-ZoeDepth defaults are orientation-symmetric and unaffected
+    assert get_default_net_size(1) == (512, 512)
+
+
 def test_invert_flags():
     # models predicting depth (not disparity): 0, 7, 8, 9, 10
     for i, spec in MODELS.items():
