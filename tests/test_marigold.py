@@ -167,3 +167,46 @@ def test_marigold_odd_latent_sizes(rng):
     d = pipe(img, processing_res=64, ensemble_size=2, denoising_steps=2)
     assert d.shape == (48, 64)
     assert np.isfinite(d).all()
+
+
+def test_empty_text_embed_conversion(tmp_path):
+    """The one converter function no other test executes
+    (models/marigold/convert.py empty_text_embed): build a tiny-config CLIP
+    text encoder + tokenizer, save_pretrained them in the marigold layout,
+    and run the production conversion path (CLIPTokenizer +
+    FlaxCLIPTextModel from_pt).  Asserts shape/finiteness/determinism and
+    parity with the torch CLIPTextModel oracle.
+    Ref: dmarigold/marigold/marigold_pipeline.py:239 (encode_empty_text)."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    import json
+    from transformers import CLIPTextConfig, CLIPTextModel, CLIPTokenizer
+
+    tok_dir = tmp_path / "tokenizer"
+    tok_dir.mkdir()
+    (tok_dir / "vocab.json").write_text(json.dumps(
+        {"<|startoftext|>": 0, "<|endoftext|>": 1, "a</w>": 2, "b</w>": 3}))
+    (tok_dir / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(tok_dir / "vocab.json"),
+                        str(tok_dir / "merges.txt"))
+    tok.save_pretrained(str(tok_dir))
+
+    cfg = CLIPTextConfig(vocab_size=4, hidden_size=32, intermediate_size=37,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         max_position_embeddings=77)
+    torch.manual_seed(0)
+    oracle = CLIPTextModel(cfg).eval()
+    oracle.save_pretrained(str(tmp_path / "text_encoder"),
+                           safe_serialization=False)
+
+    from depthmap_tpu.models.marigold.convert import empty_text_embed
+    e1 = empty_text_embed(str(tmp_path))
+    e2 = empty_text_embed(str(tmp_path))
+    assert e1.shape == (1, 77, cfg.hidden_size)
+    assert np.isfinite(e1).all()
+    assert np.array_equal(e1, e2)
+    with torch.no_grad():
+        ins = tok("", padding="max_length", max_length=77,
+                  return_tensors="pt")
+        ref = oracle(**ins).last_hidden_state.numpy()
+    assert np.abs(e1 - ref).max() < 1e-4
