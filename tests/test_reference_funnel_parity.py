@@ -126,9 +126,9 @@ def test_composition_parity_custom_depthmap(rng, tmp_path, fill):
                 f"(max |d|={np.abs(ra.astype(np.int64) - oa.astype(np.int64)).max()})"
 
 
-def _install_our_predictor(model_type, variables):
+def _install_our_predictor(model_type, variables, compute_dtype="float32"):
     pred = DepthPredictor(model_type, params=variables,
-                          compute_dtype="float32")
+                          compute_dtype=compute_dtype)
 
     class Cache(PredictorCache):
         def get(self, model_type_, tiling_mode=False, **kw):
