@@ -196,6 +196,50 @@ def bench_funnel_e2e_fps():
     }
 
 
+def bench_funnel_transfer_split():
+    """VERDICT r3 next-#7: isolate what the 25-30 MB/s tunnel costs the
+    funnel number so the 'compute-bound on PCIe hosts' claim is a
+    measurement.  Times the raw transfer volume of one funnel frame (f32
+    512^2x3 up, uint16 512^2 down) on this link and reports the funnel's
+    per-frame time with transfers subtracted — the number a PCIe host
+    (~10 GB/s, transfer cost ~0) would see."""
+    import jax
+    import jax.numpy as jnp
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    size = 128 if small else 512
+    n = 4 if small else 16
+
+    up = np.random.default_rng(0).random(
+        (1, size, size, 3)).astype(np.float32)
+    dev = jax.device_put(jnp.zeros((size, size), jnp.uint16))
+    _ = np.asarray(dev)
+
+    def xfer_once():
+        d = jax.device_put(up)
+        jax.block_until_ready(d)
+        _ = np.asarray(dev)
+
+    xfer_once()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        xfer_once()
+    transfer_pf = (time.perf_counter() - t0) / n
+
+    e2e = bench_funnel_e2e_fps()
+    e2e_pf = 1.0 / e2e["value"]
+    nontransfer_pf = max(e2e_pf - transfer_pf, 1e-9)
+    return {
+        "metric": f"funnel_e2e_transfer_split_{size}px",
+        "e2e_fps": e2e["value"],
+        "transfer_ms_per_frame": round(transfer_pf * 1e3, 1),
+        "nontransfer_ms_per_frame": round(nontransfer_pf * 1e3, 1),
+        "projected_pcie_host_fps": round(1.0 / nontransfer_pf, 2),
+        "unit": "frames/sec",
+        "note": "transfer = measured tunnel cost of one frame's up+down "
+                "volume; projected = funnel fps with transfers subtracted",
+    }
+
+
 def bench_video_e2e_fill_fps(fill: str):
     """1080p video depth+stereo with the PRODUCTION derive chain: batched
     depth pass (predict_batch, as gen_video pass 1), host global scaling,
@@ -367,12 +411,90 @@ def bench_ldi_mesh_seconds():
     }
 
 
+def bench_stereo_pairs_1080p():
+    """BASELINE metric 2: stereo SBS pairs/sec at 1080p, device-resident,
+    at the production default config (divergence 2.5%, balance 0 ->
+    +-1.25% = 24 px per eye, fill polylines_sharp vs naive).  The
+    polylines fill runs the Pallas rasterizer (ops/polylines_pallas.py);
+    the host C++ kernel is timed for reference."""
+    import jax
+    import jax.numpy as jnp
+    from depthmap_tpu.ops.stereo import stereo_pair_batch
+    from depthmap_tpu.ops.polylines import _get_lib, _polylines_native
+    from depthmap_tpu.ops.polylines_pallas import polylines_rasterize_pallas
+
+    rng = np.random.default_rng(0)
+    h, w = 1080, 1920
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    ndh = rng.random((h, w)).astype(np.float32)
+    di, dn = jnp.asarray(img), jnp.asarray(ndh)
+    div_eye = 1.25 / 100 * w                    # per-eye after balance
+
+    rows = []
+
+    def time_pallas():
+        both = lambda: (polylines_rasterize_pallas(di, dn, div_eye, 0.0,
+                                                   1.0, True),
+                        polylines_rasterize_pallas(di, dn, -div_eye, 0.0,
+                                                   1.0, True))
+        l, r = both()
+        _ = np.asarray(l[0, 0]), np.asarray(r[0, 0])
+        best = 1e9
+        for _t in range(3):
+            t0 = time.perf_counter()
+            for _i in range(4):
+                l, r = both()
+            _ = np.asarray(l[0, 0]), np.asarray(r[0, 0])
+            best = min(best, (time.perf_counter() - t0) / 4)
+        return 1.0 / best
+
+    pal = time_pallas()
+    rows.append({"metric": "stereo_sbs_pairs_per_sec_1080p_polylines_sharp",
+                 "value": round(pal, 2), "unit": "pairs/sec (device)",
+                 "vs_baseline": round(pal / 24, 3)})
+
+    imgs = jnp.asarray(img[None])
+    nds = jnp.asarray(ndh[None])
+    l, r = stereo_pair_batch(imgs, nds, div_eye, -div_eye, 0.0, 0.0, 1.0,
+                             "naive")
+    _ = np.asarray(l[0, 0, 0])
+    best = 1e9
+    for _t in range(3):
+        t0 = time.perf_counter()
+        for _i in range(4):
+            l, r = stereo_pair_batch(imgs, nds, div_eye, -div_eye, 0.0,
+                                     0.0, 1.0, "naive")
+        _ = np.asarray(l[0, 0, 0]), np.asarray(r[0, 0, 0])
+        best = min(best, (time.perf_counter() - t0) / 4)
+    rows.append({"metric": "stereo_sbs_pairs_per_sec_1080p_naive",
+                 "value": round(1.0 / best, 2), "unit": "pairs/sec (device)",
+                 "vs_baseline": round(1.0 / best / 24, 3)})
+
+    if _get_lib() is not None:
+        t0 = time.perf_counter()
+        _polylines_native(img, ndh.astype(np.float64), div_eye, 0, 1.0, True)
+        _polylines_native(img, ndh.astype(np.float64), -div_eye, 0, 1.0,
+                          True)
+        dt = time.perf_counter() - t0
+        rows.append({"metric":
+                     "stereo_sbs_pairs_per_sec_1080p_polylines_host_cpp",
+                     "value": round(1.0 / dt, 2), "unit": "pairs/sec (host)",
+                     "vs_baseline": round(1.0 / dt / 24, 3)})
+    return rows
+
+
 def main():
     headline = bench_depth_fps()
     extra = []
     if os.environ.get("BENCH_SKIP_E2E", "0") != "1":
+        try:
+            extra.extend(bench_stereo_pairs_1080p())
+        except Exception as e:
+            extra.append({"metric": "stereo_sbs_pairs_1080p",
+                          "error": str(e)})
         e2e_rows = [("link_bandwidth", measure_link_bandwidth),
-                    ("funnel_e2e", bench_funnel_e2e_fps),
+                    ("funnel_e2e_transfer_split",
+                     bench_funnel_transfer_split),
                     ("video_device_derive", bench_video_e2e_fps),
                     ("video_e2e_naive",
                      lambda: bench_video_e2e_fill_fps("naive")),

@@ -313,13 +313,19 @@ def _make_kernel(g: _Geom):
                                          preferred_element_type=jnp.float32))
             out_ref[0, pl.ds(base, LCOL), :] += add
 
+        import os
+        unroll = os.environ.get("DEPTHMAP_POLY_UNROLL", "0") == "1"
         j_lo = LPAD // C
         j_hi = j_lo if g.pt_full else min(n_pt, (Spad - PTW + LPAD) // C + 1)
         if j_hi > j_lo:
-            def body(j, _):
-                pt_chunk(j, pl.multiple_of(j * C - LPAD, 128), LPAD)
-                return 0
-            jax.lax.fori_loop(j_lo, j_hi, body, 0)
+            if unroll:
+                for j in range(j_lo, j_hi):
+                    pt_chunk(j, j * C - LPAD, LPAD)
+            else:
+                def body(j, _):
+                    pt_chunk(j, pl.multiple_of(j * C - LPAD, 128), LPAD)
+                    return 0
+                jax.lax.fori_loop(j_lo, j_hi, body, 0)
         for j in [j for j in range(n_pt) if j < j_lo or j >= j_hi]:
             soff = int(np.clip(j * C - LPAD, 0, Spad - PTW))
             pt_chunk(j, soff, j * C - soff)
@@ -354,7 +360,11 @@ def _make_kernel(g: _Geom):
             out_ref[0, pl.ds(k * nb, nb), :] += contrib
             return 0
 
-        jax.lax.fori_loop(0, g.n_bd_chunks, bd_chunk, 0)
+        if unroll:
+            for k in range(g.n_bd_chunks):
+                bd_chunk(k, 0)
+        else:
+            jax.lax.fori_loop(0, g.n_bd_chunks, bd_chunk, 0)
 
     return kernel
 

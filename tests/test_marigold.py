@@ -80,6 +80,8 @@ def test_ensemble_rides_batch_axis(rng, monkeypatch):
     rgb = rng.random((40, 40, 3)).astype(np.float32)
     ens, steps = 4, 3
     pipe(rgb, processing_res=32, ensemble_size=ens, denoising_steps=steps)
+    # multi-device meshes shard the members over a divisor-sized submesh
+    # (no padded compute), so the batch stays exactly ensemble_size
     assert seen_batches == [ens] * steps
 
 
