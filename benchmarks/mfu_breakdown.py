@@ -25,19 +25,26 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B, S = 8, 512          # headline batch and image size
-PEAK_BF16 = 394e12     # v5e chip peak (bf16 MXU)
+PEAK_BF16 = 197e12     # v5e chip peak, bf16 MXU (394 is the int8 number)
+
+
+def _fence(out):
+    # block_until_ready does not force execution through the axon tunnel;
+    # a tiny host readback of the last output does
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[:1])
 
 
 def timeit(fn, *args, iters=8):
-    import jax
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _fence(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -46,7 +53,6 @@ def main():
     import jax
     import jax.numpy as jnp
     from depthmap_tpu.pipeline.depth import DepthPredictor
-    from depthmap_tpu.models.beit import precompute_rel_biases
     from depthmap_tpu.ops.flash_attention import flash_attention
 
     pred = DepthPredictor(1)            # dpt_beit_large_512
@@ -55,15 +61,13 @@ def main():
     cdt = pred.compute_dtype
 
     # ---- full production forward (the 73 fps path)
-    fwd = pred._get_forward((B, S, S))  # jitted full fn incl. rel biases
-    t_full = timeit(lambda a: fwd(a), x)
+    t_full = timeit(lambda a: pred._apply(a, S, S, None), x)
 
     # ---- backbone alone
-    module = pred.bundle.module
-    backbone = module.backbone
-    variables = pred.variables
-    bb_vars = {"params": variables["params"]["backbone"]}
-    biases = pred._rel_biases((B, S, S))
+    backbone, bb_params = pred._beit_hoist_info()
+    bb_vars = {"params": bb_params}
+    grid = (S // 16, S // 16)
+    biases = pred._rel_biases(grid)
     bb = jax.jit(lambda v, a, rb: backbone.apply(
         v, a.astype(cdt), rel_bias=rb))
     t_backbone = timeit(lambda a: bb(bb_vars, a, biases), x)
@@ -126,7 +130,8 @@ def main():
         rows.append({"stage": name, "ms": round(t * 1e3, 2),
                      "ms_per_frame": round(t * 1e3 / B, 3),
                      "gflops": round(f / 1e9, 1),
-                     "mfu_pct": round(100 * f / t / PEAK_BF16, 1)})
+                     "mfu_pct": (round(100 * f / t / PEAK_BF16, 1)
+                                 if t > 1e-9 else None)})
 
     row("full_forward", t_full, f_full)
     row("backbone", t_backbone, f_backbone)
