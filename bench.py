@@ -424,7 +424,8 @@ def bench_stereo_pairs_1080p():
     from depthmap_tpu.ops.polylines_pallas import polylines_rasterize_pallas
 
     rng = np.random.default_rng(0)
-    h, w = 1080, 1920
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    h, w = (120, 256) if small else (1080, 1920)
     img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
     ndh = rng.random((h, w)).astype(np.float32)
     di, dn = jnp.asarray(img), jnp.asarray(ndh)
@@ -449,7 +450,7 @@ def bench_stereo_pairs_1080p():
         return 1.0 / best
 
     pal = time_pallas()
-    rows.append({"metric": "stereo_sbs_pairs_per_sec_1080p_polylines_sharp",
+    rows.append({"metric": f"stereo_sbs_pairs_per_sec_{h}p_polylines_sharp",
                  "value": round(pal, 2), "unit": "pairs/sec (device)",
                  "vs_baseline": round(pal / 24, 3)})
 
@@ -466,7 +467,7 @@ def bench_stereo_pairs_1080p():
                                      0.0, 1.0, "naive")
         _ = np.asarray(l[0, 0, 0]), np.asarray(r[0, 0, 0])
         best = min(best, (time.perf_counter() - t0) / 4)
-    rows.append({"metric": "stereo_sbs_pairs_per_sec_1080p_naive",
+    rows.append({"metric": f"stereo_sbs_pairs_per_sec_{h}p_naive",
                  "value": round(1.0 / best, 2), "unit": "pairs/sec (device)",
                  "vs_baseline": round(1.0 / best / 24, 3)})
 
@@ -477,7 +478,7 @@ def bench_stereo_pairs_1080p():
                           True)
         dt = time.perf_counter() - t0
         rows.append({"metric":
-                     "stereo_sbs_pairs_per_sec_1080p_polylines_host_cpp",
+                     f"stereo_sbs_pairs_per_sec_{h}p_polylines_host_cpp",
                      "value": round(1.0 / dt, 2), "unit": "pairs/sec (host)",
                      "vs_baseline": round(1.0 / dt / 24, 3)})
     return rows
