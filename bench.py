@@ -197,19 +197,74 @@ def bench_funnel_e2e_fps():
 
 
 def bench_funnel_transfer_split():
-    """VERDICT r3 next-#7: isolate what the 25-30 MB/s tunnel costs the
-    funnel number so the 'compute-bound on PCIe hosts' claim is a
-    measurement.  Times the raw transfer volume of one funnel frame (f32
-    512^2x3 up, uint16 512^2 down) on this link and reports the funnel's
-    per-frame time with transfers subtracted — the number a PCIe host
-    (~10 GB/s, transfer cost ~0) would see."""
+    """VERDICT r3 next-#7: make the 'compute-bound on PCIe hosts' claim a
+    measurement.  The funnel overlaps uploads/downloads with compute, so
+    subtracting the serial transfer time from the e2e frame time is
+    invalid on this ~30 MB/s tunnel (the serial transfer time alone can
+    exceed the e2e frame time).  The projection is instead built
+    bottom-up from direct measurements of the two things a PCIe host
+    serializes per frame:
+      host work   = PIL->RGB + preprocess + PIL wrap of the i16 map
+      device work = forward + fused finalize on a staged device input,
+                    result left on device
+    projected_pcie_host_fps = 1 / (host + device); one frame's ~3.5 MB
+    round trip costs <0.5 ms on a >=10 GB/s PCIe link."""
     import jax
     import jax.numpy as jnp
+    from PIL import Image
+    from depthmap_tpu.pipeline.core import PredictorCache
+    from depthmap_tpu.pipeline.depth import _finalize_i16_jit
+
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     size = 128 if small else 512
+    model_id = 6 if small else 1
     n = 4 if small else 16
 
-    up = np.random.default_rng(0).random(
+    predictor = PredictorCache().get(model_id)
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray((rng.random((size, size, 3)) * 255)
+                            .astype(np.uint8)) for _ in range(n)]
+
+    # -- host-side work per frame (pure CPU; same on any host) --
+    i16_host = np.zeros((size, size), np.uint16)
+
+    def host_once(im):
+        img01 = np.asarray(im.convert("RGB")).astype(np.float32) / 255.0
+        x = predictor._prep(img01, size, size)
+        Image.fromarray(i16_host)
+        return x
+
+    x0 = host_once(imgs[0])
+    t0 = time.perf_counter()
+    for im in imgs:
+        host_once(im)
+    host_pf = (time.perf_counter() - t0) / n
+
+    # -- device compute per frame: staged inputs, result left on device.
+    # Distinct inputs + a scalar fence on the LAST output: the axon tunnel
+    # caches identical dispatches and block_until_ready does not force
+    # execution (same hazard bench_depth_fps fences against); the in-order
+    # queue makes the last read fence all n dispatches, and the fence RTT
+    # itself is ~0.07 ms.
+    net_size = (size, size) if predictor.bundle.prep_in_model else None
+    xdevs = [jnp.asarray(x0 + np.float32(i) * np.float32(1e-3))
+             for i in range(n)]
+
+    def dev_once(xdev):
+        raw = predictor._apply(xdev, size, size, net_size)[0]
+        return _finalize_i16_jit(raw, predictor.raw_prediction_invert,
+                                 False, "Range", 0.0, 1.0)
+
+    _ = np.asarray(dev_once(xdevs[0])[:1, :1])   # compile + warm
+    device_pf = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        outs = [dev_once(x) for x in xdevs]
+        _ = np.asarray(outs[-1][:1, :1])
+        device_pf = min(device_pf, (time.perf_counter() - t0) / n)
+
+    # -- serial cost of one frame's transfer volume on THIS link --
+    up = np.random.default_rng(1).random(
         (1, size, size, 3)).astype(np.float32)
     dev = jax.device_put(jnp.zeros((size, size), jnp.uint16))
     _ = np.asarray(dev)
@@ -226,17 +281,20 @@ def bench_funnel_transfer_split():
     transfer_pf = (time.perf_counter() - t0) / n
 
     e2e = bench_funnel_e2e_fps()
-    e2e_pf = 1.0 / e2e["value"]
-    nontransfer_pf = max(e2e_pf - transfer_pf, 1e-9)
+    projected_pf = host_pf + device_pf
     return {
         "metric": f"funnel_e2e_transfer_split_{size}px",
         "e2e_fps": e2e["value"],
         "transfer_ms_per_frame": round(transfer_pf * 1e3, 1),
-        "nontransfer_ms_per_frame": round(nontransfer_pf * 1e3, 1),
-        "projected_pcie_host_fps": round(1.0 / nontransfer_pf, 2),
+        "host_ms_per_frame": round(host_pf * 1e3, 1),
+        "device_ms_per_frame": round(device_pf * 1e3, 1),
+        "projected_pcie_host_fps": round(1.0 / projected_pf, 2),
         "unit": "frames/sec",
-        "note": "transfer = measured tunnel cost of one frame's up+down "
-                "volume; projected = funnel fps with transfers subtracted",
+        "note": "transfer = serial tunnel cost of one frame's up+down "
+                "volume (overlapped with compute in the real funnel); "
+                "projected = measured host work + device compute, the "
+                "per-frame serial path on a PCIe host where transfers "
+                "are ~free",
     }
 
 
