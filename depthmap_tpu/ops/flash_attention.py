@@ -59,6 +59,13 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
     l_scr[...] = l_next
 
     v = v_ref[0, 0]
+    if kv_len % block_k:
+        # unpadded inputs: the edge block's out-of-range v rows are
+        # undefined memory (can be NaN/Inf) and p ~ 0 there does NOT
+        # neutralize them (0 * inf = nan) — zero them explicitly
+        vrow = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, v.shape, 0)
+        v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
     acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
@@ -116,10 +123,21 @@ def flash_attention(q, k, v, bias: Optional[jax.Array] = None,
         block_q = block_q or abq
         block_k = block_k or abk
 
-    qp = _pad_to(q, 2, block_q)
-    kp = _pad_to(k, 2, block_k)
-    vp = _pad_to(v, 2, block_k)
-    nq, nkv = qp.shape[2] // block_q, kp.shape[2] // block_k
+    # Mosaic masks partial edge blocks (loads of the out-of-range region
+    # are undefined but the kernel already masks padded keys, and padded
+    # query rows never store), so q/k/v/bias ride in UNPADDED — the
+    # explicit jnp.pad copies cost ~175 MB of HBM traffic per BEiT-L-512
+    # layer.  Interpret mode (CPU tests) keeps the explicit pads: its
+    # edge-block emulation zero-fills, which turns garbage-row exp()
+    # overflow into exact zeros but is not guaranteed either way.
+    if interpret:
+        qp = _pad_to(q, 2, block_q)
+        kp = _pad_to(k, 2, block_k)
+        vp = _pad_to(v, 2, block_k)
+    else:
+        qp, kp, vp = q, k, v
+    nq = -(-qp.shape[2] // block_q)
+    nkv = -(-kp.shape[2] // block_k)
 
     # grid order (h, qi, b, ki): batch iterates faster than (h, qi) so a
     # batch-shared bias tile keeps the same block index across consecutive
@@ -141,7 +159,8 @@ def flash_attention(q, k, v, bias: Optional[jax.Array] = None,
             # element would index a different head's bias block
             bias = bias[None]
         bias = jnp.broadcast_to(bias, (bias.shape[0], h, n, kv_len))
-        bias = _pad_to(_pad_to(bias, 2, block_q), 3, block_k)
+        if interpret:
+            bias = _pad_to(_pad_to(bias, 2, block_q), 3, block_k)
         bb = bias.shape[0]
         in_specs.append(pl.BlockSpec(
             (1, 1, block_q, block_k),
