@@ -512,6 +512,23 @@ def bench_stereo_pairs_1080p():
                  "value": round(pal, 2), "unit": "pairs/sec (device)",
                  "vs_baseline": round(pal / 24, 3)})
 
+    # same kernel through the PRODUCTION multi-chip dispatch (shard_map row
+    # split, ops/polylines_pallas.py _rasterize_rows_sharded) forced onto
+    # this host's devices — proves the benched path IS the sharded one;
+    # with one chip the value matches the row above to dispatch noise and
+    # scales with the mesh on real multi-chip hosts (rows are independent)
+    os.environ["DEPTHMAP_POLYLINES_SHARD"] = "1"
+    try:
+        n_dev = len(jax.devices())
+        pal_sh = time_pallas()
+        rows.append(
+            {"metric": f"stereo_sbs_pairs_per_sec_{h}p_polylines_sharp_"
+                       f"sharded_{n_dev}dev",
+             "value": round(pal_sh, 2), "unit": "pairs/sec (device)",
+             "vs_baseline": round(pal_sh / 24, 3)})
+    finally:
+        del os.environ["DEPTHMAP_POLYLINES_SHARD"]
+
     imgs = jnp.asarray(img[None])
     nds = jnp.asarray(ndh[None])
     l, r = stereo_pair_batch(imgs, nds, div_eye, -div_eye, 0.0, 0.0, 1.0,

@@ -59,12 +59,14 @@ tests/test_polylines_pallas.py: >= 99.9% of bytes exact, none off by > 1).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
 
 EPS = 1e-7
 NEG_INF = float(-jnp.inf)
@@ -232,7 +234,7 @@ def _unpack_rgb(p):
     return jnp.concatenate([r, gch, b], axis=1)
 
 
-def _make_kernel(g: _Geom):
+def _make_kernel(g: _Geom, unroll: bool = False):
     w = g.w
     s, elo = g.s, g.elo
     C, Spad, Wpad, LCOL = g.C, g.Spad, g.Wpad, g.LCOL
@@ -313,8 +315,6 @@ def _make_kernel(g: _Geom):
                                          preferred_element_type=jnp.float32))
             out_ref[0, pl.ds(base, LCOL), :] += add
 
-        import os
-        unroll = os.environ.get("DEPTHMAP_POLY_UNROLL", "0") == "1"
         j_lo = LPAD // C
         j_hi = j_lo if g.pt_full else min(n_pt, (Spad - PTW + LPAD) // C + 1)
         if j_hi > j_lo:
@@ -370,14 +370,16 @@ def _make_kernel(g: _Geom):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "divergence_px", "separation_px", "exponent", "sharp", "interpret"))
+    "divergence_px", "separation_px", "exponent", "sharp", "interpret",
+    "unroll"))
 def _rasterize_rows(image, nd, divergence_px: float, separation_px: float,
-                    exponent: float, sharp: bool, interpret: bool = False):
+                    exponent: float, sharp: bool, interpret: bool = False,
+                    unroll: bool = False):
     """image: (R, W, 3) uint8 rows, nd: (R, W) f32 -> (R, W, 3) uint8."""
     R, w, _ = image.shape
     g = _Geom(w, divergence_px, separation_px, sharp)
     rows = _build_rows(image, nd, divergence_px, separation_px, exponent, g)
-    kernel = _make_kernel(g)
+    kernel = _make_kernel(g, unroll)
 
     def spec3(n):
         return pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
@@ -397,26 +399,91 @@ def _rasterize_rows(image, nd, divergence_px: float, separation_px: float,
     return jnp.clip(acc, 0.0, 255.0).astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=2)
+def _row_mesh(force_single: bool) -> Mesh | None:
+    """1-D mesh over all local devices for the row-sharded dispatch.
+
+    Rows are embarrassingly parallel (grid=(R,), writes row-disjoint), so the
+    multi-chip path is a pure data split with no collectives — SURVEY §2.4
+    "batch rows×frames across the mesh", the TPU analogue of the reference's
+    numba ``prange`` row loop (src/stereoimage_generation.py:174)."""
+    devs = jax.devices()
+    if len(devs) < 2 and not force_single:
+        return None
+    return Mesh(np.array(devs), ("rows",))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_program(divergence_px: float, separation_px: float,
+                     exponent: float, sharp: bool, interpret: bool,
+                     unroll: bool, mesh: Mesh):
+    """jitted shard_map program for one static config (re-tracing the
+    shard_map per call costs more than the rasterization itself)."""
+    return jax.jit(jax.shard_map(
+        functools.partial(_rasterize_rows, divergence_px=divergence_px,
+                          separation_px=separation_px, exponent=exponent,
+                          sharp=sharp, interpret=interpret, unroll=unroll),
+        mesh=mesh, in_specs=(P("rows"), P("rows")), out_specs=P("rows"),
+        # pallas_call's out_shape carries no varying-mesh-axes metadata;
+        # there are no collectives to check in this body anyway
+        check_vma=False))
+
+
+def _rasterize_rows_sharded(img, nd, divergence_px: float,
+                            separation_px: float, exponent: float,
+                            sharp: bool, interpret: bool,
+                            unroll: bool, mesh: Mesh):
+    """shard_map the row grid over the mesh: each device rasterizes its row
+    shard with the same Pallas program; rows pad up to a multiple of the
+    device count (padded rows are sliced off — their output is unused)."""
+    ndev = int(mesh.devices.size)
+    R = img.shape[0]
+    rpad = (-R) % ndev
+    if rpad:
+        img = jnp.pad(img, ((0, rpad), (0, 0), (0, 0)))
+        nd = jnp.pad(nd, ((0, rpad), (0, 0)))
+    fn = _sharded_program(divergence_px, separation_px, exponent, sharp,
+                          interpret, unroll, mesh)
+    out = fn(img, nd)
+    return out[:R] if rpad else out
+
+
 def polylines_rasterize_pallas(image, normalized_depth, divergence_px: float,
                                separation_px: float, exponent: float,
-                               sharp: bool, interpret: bool | None = None):
+                               sharp: bool, interpret: bool | None = None,
+                               shard: bool | None = None):
     """Rasterize one image or a batch.
 
     image: (H, W, 3) or (N, H, W, 3) uint8; normalized_depth matching
     (H, W) / (N, H, W) in [0, 1].  Frames of a batch flatten into the row
     grid (rows are independent), so video batches cost one dispatch.
+
+    With more than one device (or DEPTHMAP_POLYLINES_SHARD=1 forcing the
+    dispatch path on one), the flattened row grid shards over a 1-D device
+    mesh via shard_map; DEPTHMAP_POLYLINES_SHARD=0 disables.
     """
     img = jnp.asarray(image, jnp.uint8)
     nd = jnp.asarray(normalized_depth, jnp.float32)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    unroll = os.environ.get("DEPTHMAP_POLY_UNROLL", "0") == "1"
     batched = img.ndim == 4
     if batched:
         n, h, w, c = img.shape
         img = img.reshape(n * h, w, c)
         nd = nd.reshape(n * h, w)
-    out = _rasterize_rows(img, nd, float(divergence_px), float(separation_px),
-                          float(exponent), bool(sharp), bool(interpret))
+    env = os.environ.get("DEPTHMAP_POLYLINES_SHARD")
+    if shard is None:
+        shard = env != "0"
+    mesh = _row_mesh(env == "1") if shard else None
+    if mesh is not None:
+        out = _rasterize_rows_sharded(
+            img, nd, float(divergence_px), float(separation_px),
+            float(exponent), bool(sharp), bool(interpret), unroll, mesh)
+    else:
+        out = _rasterize_rows(img, nd, float(divergence_px),
+                              float(separation_px), float(exponent),
+                              bool(sharp), bool(interpret), unroll)
     if batched:
         out = out.reshape(n, h, w, c)
     return out

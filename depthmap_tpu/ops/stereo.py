@@ -285,25 +285,30 @@ def apply_stereo_divergence(image, depth, divergence, separation,
     if fill_technique in ("polylines_soft", "polylines_sharp"):
         import os
         from depthmap_tpu.models.attention import _on_tpu
-        if (_on_tpu() and image.shape[-1] == 3
-                and os.environ.get("DEPTHMAP_POLYLINES_HOST") != "1"):
-            # Production default on TPU: the Pallas sort-free rasterizer
-            # (ops/polylines_pallas.py) keeps the default fill
-            # device-resident — an order of magnitude over the host C++
-            # kernel at 1080p with >= 99.9% byte-exact parity.
-            # DEPTHMAP_POLYLINES_HOST=1 opts back into the host kernel.
-            from depthmap_tpu.ops.polylines_pallas import \
-                polylines_rasterize_pallas
-            return np.asarray(polylines_rasterize_pallas(
-                image.astype(jnp.uint8), nd, float(divergence_px),
-                float(separation_px), float(exponent),
-                fill_technique == "polylines_sharp"))
+        # flag precedence: DEPTHMAP_POLYLINES_TPU=1 (the historical XLA
+        # experiment) > the Pallas device default > DEPTHMAP_POLYLINES_HOST=1
+        # (host C++ kernel); the two env flags are independent opt-outs of
+        # the Pallas default, never combined.
         if os.environ.get("DEPTHMAP_POLYLINES_TPU") == "1" and _on_tpu():
             # Historical experiment: XLA sort/scan re-derivation
             # (ops/polylines_tpu.py) — bound by data-dependent gathers,
             # slower than the host kernel; superseded by the Pallas kernel.
             from depthmap_tpu.ops.polylines_tpu import polylines_rasterize
             return np.asarray(polylines_rasterize(
+                image.astype(jnp.uint8), nd, float(divergence_px),
+                float(separation_px), float(exponent),
+                fill_technique == "polylines_sharp"))
+        if (_on_tpu() and image.shape[-1] == 3
+                and os.environ.get("DEPTHMAP_POLYLINES_HOST") != "1"):
+            # Production default on TPU: the Pallas sort-free rasterizer
+            # (ops/polylines_pallas.py) keeps the default fill
+            # device-resident — an order of magnitude over the host C++
+            # kernel at 1080p with >= 99.9% byte-exact parity, and row-
+            # sharded over the mesh when more than one device is attached.
+            # DEPTHMAP_POLYLINES_HOST=1 opts back into the host kernel.
+            from depthmap_tpu.ops.polylines_pallas import \
+                polylines_rasterize_pallas
+            return np.asarray(polylines_rasterize_pallas(
                 image.astype(jnp.uint8), nd, float(divergence_px),
                 float(separation_px), float(exponent),
                 fill_technique == "polylines_sharp"))

