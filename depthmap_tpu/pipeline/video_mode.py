@@ -32,8 +32,14 @@ from depthmap_tpu.options import GenerationOptions
 def read_depth_video_16(path: str):
     """Lossless gray16le depth-video ingest (reference video_mode.py:39-55
     reads 16-bit FFV1 AVIs written by the depth encoder).  Returns
-    (fps, [I;16 frames]) or None when pyav is absent / the stream is not
-    16-bit grayscale."""
+    (fps, [I;16 frames]) or None when the stream is not 16-bit grayscale.
+    Handles both the raw Y16 AVIs this package writes (zero-dep path,
+    io/avi.py) and FFV1 gray16le AVIs via pyav when present."""
+    from depthmap_tpu.io.avi import read_gray16_avi
+    raw = read_gray16_avi(path)
+    if raw is not None:
+        fps, arrs = raw
+        return fps, [Image.fromarray(a, mode="I;16") for a in arrs]
     try:
         import av
     except Exception:
@@ -59,13 +65,28 @@ def read_depth_video_16(path: str):
 
 def write_depth_video_16(frames: List[Image.Image], fps: float,
                          out_path: str) -> bool:
-    """FFV1 gray16le AVI writer (reference video_mode.py:72-84); returns
-    False when pyav is unavailable (caller falls back to a PNG sequence)."""
+    """16-bit depth AVI writer.  Prefers FFV1 gray16le via pyav (the
+    reference's encoder, video_mode.py:72-84, losslessly compressed); when
+    pyav is absent, writes an uncompressed rawvideo Y16 AVI with the
+    zero-dependency container writer (io/avi.py) — same 16-bit fidelity,
+    playable by any ffmpeg-based tool.  Returns False only if both fail."""
     try:
         import av
         from fractions import Fraction
     except Exception:
-        return False
+        from depthmap_tpu.io.avi import write_gray16_avi
+        try:
+            write_gray16_avi(
+                [np.asarray(f, dtype=np.uint16) for f in frames], fps,
+                out_path)
+            return True
+        except Exception:
+            if os.path.exists(out_path):
+                try:
+                    os.remove(out_path)
+                except OSError:
+                    pass
+            return False
     container = None
     try:
         w, h = frames[0].size

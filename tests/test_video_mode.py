@@ -58,14 +58,14 @@ def test_gen_video_end_to_end(tmp_path):
     inp = GenerationOptions(model_type=6, net_width=64, net_height=64,
                             gen_stereo=True, stereo_fill_algo="naive")
     written = vm.gen_video(gif, out, inp, smoothening="experimental")
-    assert len(written) >= 2   # depth sequence + at least one stereo video
-    # depth png sequence with full 16-bit fidelity
-    depth_dirs = [w for w in written if os.path.isdir(w)]
-    assert depth_dirs
-    files = sorted(os.listdir(depth_dirs[0]))
-    assert "fps.txt" in files
-    img = Image.open(os.path.join(depth_dirs[0], "000000.png"))
-    assert img.mode.startswith("I")
+    assert len(written) >= 2   # depth video + at least one stereo video
+    # depth is a REAL 16-bit AVI (raw Y16 without pyav, FFV1 with), not a
+    # latent PNG sequence — re-ingest and check fidelity
+    depth_avis = [w for w in written if w.endswith(".avi")]
+    assert depth_avis
+    fps, back = vm.open_path_as_images(depth_avis[0], maybe_depthvideo=True)
+    assert len(back) == 4 and back[0].mode.startswith("I")
+    assert np.asarray(back[0], dtype=np.uint16).dtype == np.uint16
     gifs = [w for w in written if w.endswith(".gif")]
     assert gifs
 
