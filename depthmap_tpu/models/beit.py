@@ -77,12 +77,33 @@ class RelPosBias(nn.Module):
             # streamed-bias path: attention gathers per q-chunk from this
             # (num_rel + 3, H) table (models/attention.py RelBiasSpec)
             return table
-        # the index's 3 cls entries (num_rel..num_rel+2 for the *new* window)
-        # already point at the resized table's tail rows
-        idx = gen_relative_position_index(wh, ww)
-        bias = table[jnp.asarray(idx.reshape(-1))]
-        n = wh * ww + 1
-        bias = bias.reshape(n, n, self.num_heads)
+        # Materialize bias[(r1,c1),(r2,c2)] = T2[r1-r2+wh-1, c1-c2+ww-1]
+        # via two gathers over the SMALL relative axes (wh² and ww² indices
+        # with multi-KB row payloads) instead of one (N+1)²-index gather of
+        # 16-element rows: the flat-index gather is scalar-unit bound on TPU
+        # and measured 190 s for BEiT-L's 24 blocks at 512² — this exact
+        # reformulation (same table entries) runs at HBM bandwidth.
+        nh = self.num_heads
+        num_rel = new_h * new_w
+        t2 = table[:num_rel].reshape(new_h, new_w * nh)
+        ri = jnp.arange(wh, dtype=jnp.int32)
+        ridx = (ri[:, None] - ri[None, :] + wh - 1).reshape(-1)
+        x1 = t2[ridx]                              # (wh², (2ww-1)·H)
+        ci = jnp.arange(ww, dtype=jnp.int32)
+        cidx = (ci[:, None] - ci[None, :] + ww - 1).reshape(-1)
+        x2 = x1.reshape(wh * wh, new_w, nh)[:, cidx]   # (wh², ww², H)
+        body = x2.reshape(wh, wh, ww, ww, nh).transpose(0, 2, 1, 3, 4)
+        ntok = wh * ww
+        body = body.reshape(ntok, ntok, nh)
+        # cls interactions: row 0 = cls->token (table[num_rel]), col 0 =
+        # token->cls (num_rel+1), corner = cls->cls (num_rel+2) — matching
+        # gen_relative_position_index's overwrite order
+        ct = jnp.broadcast_to(table[num_rel], (1, ntok, nh))
+        tc = jnp.broadcast_to(table[num_rel + 1], (ntok, 1, nh))
+        cc = table[num_rel + 2].reshape(1, 1, nh)
+        top = jnp.concatenate([cc, ct], axis=1)        # (1, N, H)
+        rest = jnp.concatenate([tc, body], axis=1)     # (ntok, N, H)
+        bias = jnp.concatenate([top, rest], axis=0)    # (N, N, H)
         return bias.transpose(2, 0, 1)[None]   # (1, H, N, N)
 
 
