@@ -126,10 +126,57 @@ def main():
         t = t + g1 * (o @ wproj + bproj)
         return t + g2 * mlp_part(ln(t, ln2s, ln2b))
 
+    # ---- ablations of v1: find where the non-matmul time lives
+    def block_v1_noln(t):
+        h = t
+        q = jnp.einsum("bnc,chd->bhnd", h, wq)
+        k = jnp.einsum("bnc,chd->bhnd", h, wk)
+        v = jnp.einsum("bnc,chd->bhnd", h, wv)
+        o = flash_attention(q, k, v, bias=bias)
+        o = jnp.einsum("bhnd,hdc->bnc", o, wproj_hd)
+        t = t + o
+        h2 = jax.nn.gelu(t @ w1, approximate=False)
+        return t + h2 @ w2
+
+    def block_v1_noattn(t):
+        h = ln(t, ln1s, ln1b)
+        q = jnp.einsum("bnc,chd->bhnd", h, wq) + \
+            qbias.reshape(H, D)[None, :, None]
+        o = jnp.einsum("bhnd,hdc->bnc", q, wproj_hd) + bproj
+        t = t + g1 * o
+        return t + g2 * mlp_part(ln(t, ln2s, ln2b))
+
+    def block_v1_nomlp(t):
+        h = ln(t, ln1s, ln1b)
+        q = jnp.einsum("bnc,chd->bhnd", h, wq) + \
+            qbias.reshape(H, D)[None, :, None]
+        k = jnp.einsum("bnc,chd->bhnd", h, wk)
+        v = jnp.einsum("bnc,chd->bhnd", h, wv) + \
+            vbias.reshape(H, D)[None, :, None]
+        o = flash_attention(q, k, v, bias=bias)
+        o = jnp.einsum("bhnd,hdc->bnc", o, wproj_hd) + bproj
+        return t + g1 * o
+
+    def block_v1_nobias(t):
+        h = ln(t, ln1s, ln1b)
+        q = jnp.einsum("bnc,chd->bhnd", h, wq)
+        k = jnp.einsum("bnc,chd->bhnd", h, wk)
+        v = jnp.einsum("bnc,chd->bhnd", h, wv)
+        o = flash_attention(q, k, v)
+        o = jnp.einsum("bhnd,hdc->bnc", o, wproj_hd)
+        t = t + g1 * o
+        return t + g2 * mlp_part(ln(t, ln2s, ln2b))
+
     rows = []
     outs = {}
-    for name, blk in (("v0_current", block_v0), ("v1_einsum", block_v1),
-                      ("v2_packed", block_v2)):
+    variants = [("v0_current", block_v0), ("v1_einsum", block_v1),
+                ("v2_packed", block_v2)]
+    if os.environ.get("BLOCK_ABLATE", "0") == "1":
+        variants += [("v1_noln_nogamma", block_v1_noln),
+                     ("v1_noattnkernel", block_v1_noattn),
+                     ("v1_nomlp", block_v1_nomlp),
+                     ("v1_norelbias", block_v1_nobias)]
+    for name, blk in variants:
         @jax.jit
         def stack(t, blk=blk):
             for _ in range(DEPTH):

