@@ -117,14 +117,20 @@ def _fill_naive_interpolating(derived, filled, w):
     Canonical-semantics note: the canonical behavior is the reference's
     production numba path (stereoimage_generation.py:113-141), where channel
     sums accumulate in int64 (no uint8 wraparound) and the left-to-right
-    sweep mutates the row in place — a just-written pixel whose new color is
-    exact black gets re-processed against the mutated neighbourhood.  The
-    exact sequential fill lives in the native library
-    (ops/polylines.py `fill_naive_interpolating_native`) and is what the
-    single-image host path uses.  THIS vectorized single-pass version is the
-    batched device fallback: it matches the canonical result except on
-    re-entrant pixels (an interpolated pixel landing on exact black — zero
-    probability for natural images whose borders aren't pure black).
+    sweep mutates the row in place.  The sweep's "re-entrant pixel" case (a
+    just-written pixel whose new color is exact black being re-processed
+    against the mutated neighbourhood) is UNREACHABLE: an interpolated
+    channel with nonzero left border l_c > 0 takes values
+    l_c + trunc(-k*l_c/total) >= ceil(l_c/total) >= 1 for k < total, a
+    zero/zero channel stays zero, and a run whose both borders are black
+    writes black over black — so re-entry only ever rewrites black with
+    black.  This vectorized single-pass version is therefore byte-equal to
+    the canonical sweep; the contract is pinned (incl. adversarial
+    near-black images, batch mode) by
+    tests/test_stereo.py::test_batched_interpolating_matches_canonical_adversarial.
+    The exact sequential fill in the native library
+    (ops/polylines.py `fill_naive_interpolating_native`) remains the
+    single-image host route — same bytes either way.
     """
     h = derived.shape[0]
     idxb = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))

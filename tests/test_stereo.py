@@ -142,3 +142,40 @@ def test_warp_naive_fuzz(rng, fill):
         np.testing.assert_array_equal(
             got, want, err_msg=f"trial={trial} h={h} w={w} div={div_px} "
                                f"sep={sep_px} exp={expo}")
+
+
+def test_batched_interpolating_matches_canonical_adversarial(rng):
+    """VERDICT r4 #9: pin the batched device `naive_interpolating`
+    (_fill_naive_interpolating — the video fast path) against the canonical
+    sequential semantics on adversarial inputs.
+
+    The fill's docstring long hedged that a single vectorized pass cannot
+    reproduce "re-entrant" pixels (an interpolated pixel landing on exact
+    black and being re-processed by the in-place sweep).  That case is in
+    fact unreachable: an interpolated channel with nonzero left border
+    l_c > 0 takes values l_c + trunc(-k*l_c/total) >= ceil(l_c/total) >= 1
+    (trunc toward zero, k < total), a zero/zero channel stays zero, and a
+    run whose both borders are black writes black over black — so an
+    interpolant is exact black only when it is unobservably rewriting
+    black.  Hence the single-pass device fill is byte-equal to the
+    canonical sweep, including on near-black images engineered to maximize
+    black interpolants.  This test pins that equality (it is the batched
+    path's correctness contract); if it ever fires, the device video path
+    has genuinely diverged from the reference numba semantics."""
+    h, w = 6, 48
+    for trial in range(30):
+        # near-black images maximize zero-sum pixels and black borders
+        scale = [1, 2, 3, 255][trial % 4]
+        imgs = (rng.random((2, h, w, 3)) * scale).astype(np.uint8)
+        nds = rng.random((2, h, w)).astype(np.float32)
+        div_px = [20.0, -20.0, 40.0][trial % 3]
+        left, right = stereo.stereo_pair_batch(
+            jnp.asarray(imgs), jnp.asarray(nds), div_px, -div_px, 0.0,
+            0.0, 1.0, "naive_interpolating")
+        for i in range(2):
+            want_l = oracles.stereo_warp_naive(
+                imgs[i], nds[i], div_px, 0.0, 1.0, "naive_interpolating")
+            want_r = oracles.stereo_warp_naive(
+                imgs[i], nds[i], -div_px, 0.0, 1.0, "naive_interpolating")
+            np.testing.assert_array_equal(np.asarray(left[i]), want_l)
+            np.testing.assert_array_equal(np.asarray(right[i]), want_r)
