@@ -24,8 +24,7 @@ _LANES = 128
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
-            m_scr, l_scr, acc_scr, *, scale, kv_len, block_k, n_kv,
-            packed: bool = False):
+            m_scr, l_scr, acc_scr, *, scale, kv_len, block_k, n_kv):
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -36,14 +35,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
 
     # keep the MXU in the input dtype (bf16 at full rate on v5e) and
     # accumulate in f32; the scale is applied post-matmul in f32
-    if packed:
-        # packed-qkv layout: blocks (1, blk, 1, 1, d) sliced out of the
-        # (B, N, 3, H, D) qkv dense output — no XLA-level transposes
-        q = q_ref[0, :, 0, 0]                      # (bq, d)
-        k = k_ref[0, :, 0, 0]                      # (bk, d)
-    else:
-        q = q_ref[0, 0]                                # (bq, d)
-        k = k_ref[0, 0]                                # (bk, d)
+    q = q_ref[0, 0]                                # (bq, d)
+    k = k_ref[0, 0]                                # (bk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (bq, bk) f32
@@ -65,7 +58,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
     m_scr[...] = m_next
     l_scr[...] = l_next
 
-    v = v_ref[0, :, 0, 0] if packed else v_ref[0, 0]
+    v = v_ref[0, 0]
     if kv_len % block_k:
         # unpadded inputs: the edge block's out-of-range v rows are
         # undefined memory (can be NaN/Inf) and p ~ 0 there does NOT
@@ -80,11 +73,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
     def _emit():
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        out = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        if packed:
-            o_ref[0, :, 0] = out
-        else:
-            o_ref[0, 0] = out
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
 def auto_blocks(n: int, dtype=None, cap: Optional[int] = None):
@@ -205,87 +194,11 @@ def flash_attention(q, k, v, bias: Optional[jax.Array] = None,
     return out[:, :, :n, :]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
-def flash_attention_packed(qkv, bias: Optional[jax.Array] = None,
-                           scale: Optional[float] = None,
-                           block_q: Optional[int] = None,
-                           block_k: Optional[int] = None,
-                           interpret: Optional[bool] = None):
-    """Flash attention consuming the qkv dense output IN PLACE.
-
-    qkv: (B, N, 3, H, D) — a free reshape of the (B, N, 3C) qkv projection;
-    returns (B, N, H, D), whose flat view (B, N, C) feeds the out-projection
-    directly.  Zero layout changes between the two matmuls: blocks of q/k/v
-    are sliced straight out of the packed array by index maps (the same
-    array rides in three times), killing the (B,N,3,H,D)->(3,B,H,N,D)
-    transpose and the output (B,H,N,D)->(B,N,C) transpose that cost ~1/3 of
-    the BEiT-L forward at 512² (PARITY round-4 MFU table, "backbone other").
-    Same online-softmax kernel and numerics as :func:`flash_attention`.
-    bias: broadcastable to (B, H, N, N)."""
-    b, n, three, h, d = qkv.shape
-    assert three == 3, qkv.shape
-    if scale is None:
-        scale = d ** -0.5
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu",)
-    if block_q is None or block_k is None:
-        abq, abk = auto_blocks(n, qkv.dtype)
-        block_q = block_q or abq
-        block_k = block_k or abk
-    kv_len = n
-    if interpret:
-        qkvp = _pad_to(qkv, 1, max(block_q, block_k))
-    else:
-        qkvp = qkv
-    npad = qkvp.shape[1]
-    nq = -(-npad // block_q)
-    nkv = -(-npad // block_k)
-
-    in_specs = [
-        pl.BlockSpec((1, block_q, 1, 1, d),
-                     lambda h_, qi, b_, ki: (b_, qi, 0, h_, 0)),
-        pl.BlockSpec((1, block_k, 1, 1, d),
-                     lambda h_, qi, b_, ki: (b_, ki, 1, h_, 0)),
-        pl.BlockSpec((1, block_k, 1, 1, d),
-                     lambda h_, qi, b_, ki: (b_, ki, 2, h_, 0)),
-    ]
-    args = [qkvp, qkvp, qkvp]
-    if bias is not None:
-        if bias.ndim == 3:
-            bias = bias[None]
-        bias = jnp.broadcast_to(bias, (bias.shape[0], h, n, kv_len))
-        if interpret:
-            bias = _pad_to(_pad_to(bias, 2, block_q), 3, block_k)
-        bb = bias.shape[0]
-        in_specs.append(pl.BlockSpec(
-            (1, 1, block_q, block_k),
-            lambda h_, qi, b_, ki: ((b_ if bb > 1 else 0), h_, qi, ki)))
-        args.append(bias)
-        kernel = functools.partial(_kernel, scale=scale, kv_len=kv_len,
-                                   block_k=block_k, n_kv=nkv, packed=True)
-    else:
-        kernel = functools.partial(
-            lambda qr, kr, vr, o, m, l, a, **kw:
-            _kernel(qr, kr, vr, None, o, m, l, a, **kw),
-            scale=scale, kv_len=kv_len, block_k=block_k, n_kv=nkv,
-            packed=True)
-
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, npad, h, d), qkv.dtype),
-        grid=(h, nq, b, nkv),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, 1, d),
-                               lambda h_, qi, b_, ki: (b_, qi, h_, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary")),
-        interpret=interpret,
-    )(*args)
-    return out[:, :n]
+# A packed-qkv kernel variant (q/k/v blocks index-mapped straight out of
+# the (B, N, 3, H, D) qkv-dense output, zero XLA-level transposes) was
+# prototyped in round 5 and is bit-identical to this kernel in interpret
+# mode, but Mosaic rejects the required block shape (second-to-last block
+# dim 1 vs the overall H axis: blocks must have last-two dims divisible by
+# (8, 128) or equal to the array dims).  The einsum attention layout in
+# models/transformer.py captures most of the win at the XLA level instead
+# (benchmarks/block_fusion.py: 76.2 -> 69.4 ms per 24-block stack).

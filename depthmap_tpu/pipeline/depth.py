@@ -106,6 +106,16 @@ class DepthPredictor:
                 and "DEPTHMAP_COMPUTE_DTYPE" not in os.environ):
             self.core_dtype = jnp.dtype(
                 os.environ.get("DEPTHMAP_ZOE_CORE_DTYPE", "bfloat16"))
+        # zoedepth_k / _nk (VERDICT r4 #7): the reference runs these .half()
+        # (depthmap_generation.py:262-276), which the bf16 default mirrors.
+        # DEPTHMAP_ZOE_KNK_HEAD_F32=1 opts into the zoedepth_n-style split
+        # (bf16 core, f32 metric head) — measured decision recorded in
+        # PARITY round 5 (benchmarks/zoe_knk_precision.py).
+        if (self.model_type in (8, 9) and not explicit_dtype
+                and "DEPTHMAP_COMPUTE_DTYPE" not in os.environ
+                and os.environ.get("DEPTHMAP_ZOE_KNK_HEAD_F32") == "1"):
+            self.compute_dtype = jnp.dtype(jnp.float32)
+            self.core_dtype = jnp.dtype("bfloat16")
         if self.model_type in (7, 8, 9) and \
                 self.core_dtype != self.compute_dtype:
             import dataclasses
