@@ -298,12 +298,14 @@ def bench_funnel_transfer_split():
     }
 
 
-def bench_video_e2e_fill_fps(fill: str):
+def bench_video_e2e_fill_fps(fill: str, shard: bool = False):
     """1080p video depth+stereo with the PRODUCTION derive chain: batched
     depth pass (predict_batch, as gen_video pass 1), host global scaling,
     per-frame i16 + create_stereoimages with the given fill — the shipping
-    default is polylines_sharp (host C++ kernel); 'naive' is the
-    device-fill comparison point.  All transfers included."""
+    default is polylines_sharp (the Pallas device rasterizer); 'naive' is
+    the device-fill comparison point.  All transfers included.  With
+    shard=True the fill is forced through the shard_map row-split dispatch
+    (the multi-chip production path, ops/polylines_pallas.py)."""
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     h, w = (120, 160) if small else (1080, 1920)
     net = 128 if small else 512
@@ -336,16 +338,24 @@ def bench_video_e2e_fill_fps(fill: str):
             outs.append((i16, sbs))
         return outs
 
-    run(frames01[:n])                  # compile + warmup (all shapes)
-    best_dt = float("inf")
-    for _trial in range(2):
-        t0 = time.perf_counter()
-        outs = run(frames01 + np.float32(1e-3))
-        assert len(outs) == n
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    if shard:
+        os.environ["DEPTHMAP_POLYLINES_SHARD"] = "1"
+    try:
+        run(frames01[:n])              # compile + warmup (all shapes)
+        best_dt = float("inf")
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            outs = run(frames01 + np.float32(1e-3))
+            assert len(outs) == n
+            best_dt = min(best_dt, time.perf_counter() - t0)
+    finally:
+        if shard:
+            del os.environ["DEPTHMAP_POLYLINES_SHARD"]
     fps = n / best_dt
+    import jax
+    tag = f"_sharded_{len(jax.devices())}dev" if shard else ""
     return {
-        "metric": f"video_e2e_fps_{h}p_fill_{fill}",
+        "metric": f"video_e2e_fps_{h}p_fill_{fill}{tag}",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "note": "production derive chain, host transfers included",
@@ -575,7 +585,14 @@ def main():
                     ("video_e2e_naive",
                      lambda: bench_video_e2e_fill_fps("naive")),
                     ("video_e2e_polylines_sharp",
-                     lambda: bench_video_e2e_fill_fps("polylines_sharp"))]
+                     lambda: bench_video_e2e_fill_fps("polylines_sharp")),
+                    # VERDICT r4 #10: same pipeline through the PRODUCTION
+                    # multi-chip dispatch (shard_map row split) — on one
+                    # chip it matches the row above; on a v5e-8 the fill
+                    # splits 8 ways
+                    ("video_e2e_polylines_sharp_sharded",
+                     lambda: bench_video_e2e_fill_fps(
+                         "polylines_sharp", shard=True))]
         for name, fn in e2e_rows:
             try:
                 extra.append(fn())

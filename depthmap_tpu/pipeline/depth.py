@@ -107,13 +107,16 @@ class DepthPredictor:
             self.core_dtype = jnp.dtype(
                 os.environ.get("DEPTHMAP_ZOE_CORE_DTYPE", "bfloat16"))
         # zoedepth_k / _nk (VERDICT r4 #7): the reference runs these .half()
-        # (depthmap_generation.py:262-276), which the bf16 default mirrors.
-        # DEPTHMAP_ZOE_KNK_HEAD_F32=1 opts into the zoedepth_n-style split
-        # (bf16 core, f32 metric head) — measured decision recorded in
-        # PARITY round 5 (benchmarks/zoe_knk_precision.py).
+        # whole-model (depthmap_generation.py:262-276); measured on v5e
+        # (benchmarks/zoe_knk_precision.py, PARITY round 5) the
+        # zoedepth_n-style split — bf16 relative-depth core, f32 metric
+        # head — costs ~0.3% fps and HALVES the metric drift (k: abs_rel
+        # 1.16% -> 0.52%; nk: 0.30% -> 0.12% vs f32), so selective is the
+        # default.  DEPTHMAP_ZOE_KNK_HEAD_F32=0 restores the reference's
+        # whole-model reduced precision.
         if (self.model_type in (8, 9) and not explicit_dtype
                 and "DEPTHMAP_COMPUTE_DTYPE" not in os.environ
-                and os.environ.get("DEPTHMAP_ZOE_KNK_HEAD_F32") == "1"):
+                and os.environ.get("DEPTHMAP_ZOE_KNK_HEAD_F32") != "0"):
             self.compute_dtype = jnp.dtype(jnp.float32)
             self.core_dtype = jnp.dtype("bfloat16")
         if self.model_type in (7, 8, 9) and \
