@@ -64,11 +64,18 @@ def main():
     tokens = mk(B, G * G + 1, C)
     grid = (G, G)
 
+    def cast(tree):
+        # production params are bf16 (depth.py compute-dtype policy);
+        # flax init returns f32 — cast so the isolated stages match
+        return jax.tree.map(
+            lambda a: a.astype(cdt)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
     # ---- reassemble x4 (the real levels/channels)
     reas = []
     for i, ch in enumerate((256, 512, 1024, 1024)):
         mod = Reassemble(ch, i)
-        params = jax.jit(mod.init, static_argnums=(2,))(key, tokens, grid)
+        params = cast(jax.jit(mod.init, static_argnums=(2,))(key, tokens, grid))
         fn = jax.jit(lambda p, t, m=mod: m.apply(p, t, grid))
         reas.append((f"reassemble{i}", fn, params))
     t_rea = 0.0
@@ -81,7 +88,7 @@ def main():
 
     # ---- scratch projections
     scr = Scratch(F, expand=False)
-    sp = jax.jit(scr.init)(key, layers)
+    sp = cast(jax.jit(scr.init)(key, layers))
     t = timeit(jax.jit(scr.apply), sp, layers)
     rows.append({"stage": "scratch_rn_x4", "ms": round(t * 1e3, 2)})
     rns = jax.jit(scr.apply)(sp, layers)
@@ -98,11 +105,13 @@ def main():
             p3 = p3m.apply(v3, p4, r3, size=r2.shape[1:3])
             p2 = p2m.apply(v2, p3, r2, size=r1.shape[1:3])
             return p1m.apply(v1, p2, r1)
-        v4 = jax.jit(p4m.init, static_argnames=("size",))(
-            key, r4, size=tuple(r3.shape[1:3]))
-        v3 = p3m.init(key, r4, r3, size=tuple(r2.shape[1:3]))
-        v2 = p2m.init(key, r3, r2, size=tuple(r1.shape[1:3]))
-        v1 = p1m.init(key, r2, r1)
+        v4 = cast(jax.jit(p4m.init, static_argnames=("size",))(
+            key, r4, size=tuple(r3.shape[1:3])))
+        # fused blocks consume the PREVIOUS level's upsampled output, which
+        # has the skip's spatial dims
+        v3 = cast(p3m.init(key, r3, r3, size=tuple(r2.shape[1:3])))
+        v2 = cast(p2m.init(key, r2, r2, size=tuple(r1.shape[1:3])))
+        v1 = cast(p1m.init(key, r1, r1))
         return jax.jit(apply_all), (v4, v3, v2, v1)
 
     fuse, fvars = fusion_chain_init()
@@ -121,14 +130,14 @@ def main():
             return nn.relu(Conv(1, 1, name="c3")(out.astype(jnp.float32)))
 
     head = Head()
-    hv = jax.jit(head.init)(key, p1)
+    hv = cast(jax.jit(head.init)(key, p1))
     t = timeit(jax.jit(head.apply), hv, p1)
     rows.append({"stage": "head", "ms": round(t * 1e3, 2)})
 
     # ---- A/B: ConvTranspose 4x vs dense + depth-to-space (level 0)
     x0 = mk(B, G, G, 256)
     ct = nn.ConvTranspose(256, (4, 4), strides=(4, 4), padding="VALID")
-    ctv = jax.jit(ct.init)(key, x0)
+    ctv = cast(jax.jit(ct.init)(key, x0))
     t_ct = timeit(jax.jit(ct.apply), ctv, x0)
     w_d2s = mk(256, 16 * 256)
 
