@@ -84,6 +84,10 @@ def gaussian_blur(x: jax.Array, ksize: int, sigma: float | None = None) -> jax.A
     """cv2.GaussianBlur(x, (ksize, ksize), sigma) parity (sigmaY = sigmaX)."""
     if ksize is None or ksize <= 0:
         return x
+    if ksize % 2 == 0:
+        # cv2 asserts "ksize.width must be positive and odd"; the separable
+        # correlation below would silently shrink the image by one pixel
+        raise ValueError(f"gaussian_blur ksize must be odd, got {ksize}")
     if sigma is None:
         sigma = float(ksize)
     k = gaussian_kernel1d(int(ksize), float(sigma))

@@ -66,3 +66,15 @@ def test_create_normalmap_matches_reference(rng, pre_blur, sobel_k, post_blur,
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.02
+
+
+def test_even_blur_kernel_rejected(rng):
+    """cv2.GaussianBlur asserts on even ksize (the reference would crash);
+    we must raise too rather than silently shrink the image by a pixel."""
+    depth = (rng.random((16, 20)) * 65535).astype(np.uint16)
+    with pytest.raises(ValueError, match="odd"):
+        create_normalmap(jnp.asarray(depth), pre_blur=2)
+    # odd kernels keep the shape
+    out = np.asarray(create_normalmap(jnp.asarray(depth), pre_blur=3,
+                                      post_blur=1))
+    assert out.shape == (16, 20, 3)
