@@ -138,12 +138,16 @@ def auto_blocks(n: int, dtype=None, cap: Optional[int] = None):
     scan lost to whole-row outright (0.75 vs 1.0+ ms/layer).
 
     The whole-row cap is dtype-aware: f32 inputs double the q/k/v/bias tile
-    footprint, and whole-row 1152 f32 overflows the 16 MB scoped vmem
-    (observed at ZoeDepth's f32-policy N=769 -> padded 1152: 21.55M)."""
+    footprint.  PADDED whole-row 1152 f32 overflowed the 16 MB scoped vmem
+    (21.55M observed), which set the old f32 cap at 768 — unpadded tiles
+    shrink the footprint enough that whole-row f32 fits and wins through
+    N=1025 (measured on v5e: 0.72 vs 0.87 ms/layer for the 512x1152 scan
+    at ZoeDepth-beit384 shapes; bit-identical), so the f32 cap is now
+    1152."""
     padded = -(-n // _LANES) * _LANES
     if cap is None:
         itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 2
-        cap = 1536 if itemsize <= 2 else 768
+        cap = 1536 if itemsize <= 2 else 1152
     if padded <= cap:
         return n, n
     return 512, 1152
