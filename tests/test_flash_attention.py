@@ -123,6 +123,14 @@ def _on_chip_unpadded_cases():
         ref2 = attention_xla(q, k, v, None)
         got2 = flash_attention(q, k, v, interpret=False)
         results.append(("flash", n, float(jnp.abs(ref2 - got2).max())))
+        if n > 1024:
+            # force the online-softmax SCAN kernel (n_kv > 1: edge-slab
+            # masking + log2-space rescale) — auto blocks would pick the
+            # single-block whole-row kernel at this N
+            got3 = flash_attention(q, k, v, bias=bias, block_q=512,
+                                   block_k=512, interpret=False)
+            results.append(("flash+bias scan512", n,
+                            float(jnp.abs(ref - got3).max())))
     return results
 
 
