@@ -8,8 +8,11 @@ Last full run (single v5e, round 2): 15/15 OK, see PARITY.md.
 
 Usage: python benchmarks/family_sweep.py   (from the repo root; ~20 min)
 """
-import time, traceback
+import os, sys, time, traceback
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from depthmap_tpu.pipeline.depth import DepthPredictor
 from depthmap_tpu.registry import MODELS
 
