@@ -338,6 +338,7 @@ def bench_video_e2e_fill_fps(fill: str, shard: bool = False):
             outs.append((i16, sbs))
         return outs
 
+    prev_shard = os.environ.get("DEPTHMAP_POLYLINES_SHARD")
     if shard:
         os.environ["DEPTHMAP_POLYLINES_SHARD"] = "1"
     try:
@@ -349,8 +350,11 @@ def bench_video_e2e_fill_fps(fill: str, shard: bool = False):
             assert len(outs) == n
             best_dt = min(best_dt, time.perf_counter() - t0)
     finally:
-        if shard:
-            del os.environ["DEPTHMAP_POLYLINES_SHARD"]
+        if shard:                      # restore, don't drop, a user export
+            if prev_shard is None:
+                del os.environ["DEPTHMAP_POLYLINES_SHARD"]
+            else:
+                os.environ["DEPTHMAP_POLYLINES_SHARD"] = prev_shard
     fps = n / best_dt
     import jax
     tag = f"_sharded_{len(jax.devices())}dev" if shard else ""
@@ -527,6 +531,7 @@ def bench_stereo_pairs_1080p():
     # this host's devices — proves the benched path IS the sharded one;
     # with one chip the value matches the row above to dispatch noise and
     # scales with the mesh on real multi-chip hosts (rows are independent)
+    prev_shard = os.environ.get("DEPTHMAP_POLYLINES_SHARD")
     os.environ["DEPTHMAP_POLYLINES_SHARD"] = "1"
     try:
         n_dev = len(jax.devices())
@@ -536,8 +541,11 @@ def bench_stereo_pairs_1080p():
                        f"sharded_{n_dev}dev",
              "value": round(pal_sh, 2), "unit": "pairs/sec (device)",
              "vs_baseline": round(pal_sh / 24, 3)})
-    finally:
-        del os.environ["DEPTHMAP_POLYLINES_SHARD"]
+    finally:                           # restore, don't drop, a user export
+        if prev_shard is None:
+            del os.environ["DEPTHMAP_POLYLINES_SHARD"]
+        else:
+            os.environ["DEPTHMAP_POLYLINES_SHARD"] = prev_shard
 
     imgs = jnp.asarray(img[None])
     nds = jnp.asarray(ndh[None])

@@ -7,12 +7,15 @@ the attention-adjacent layout changes: (B,N,3C) -> (B,N,3,H,D) ->
 (3,B,H,N,D) before the kernel and (B,H,N,D) -> (B,N,C) after it.  This
 bench times a 24-block stack at the headline shapes for each candidate:
 
-  v0_current  — today's transformer.py math (moveaxis + flash kernel)
+  v0_moveaxis — the round-4 transformer.py math (moveaxis + flash kernel)
   v1_einsum   — q/k/v emitted straight to (B,H,N,D) by per-slice einsums,
                 attention output consumed by an (hd,c) einsum out-proj
-  v2_packed   — qkv dense output reshaped (free) to (B,N,3,H,D) and fed to
-                flash_attention_packed, whose index maps slice q/k/v blocks
-                in place; output (B,N,H,D) flattens (free) into the out-proj
+                (SHIPPED since round 5: transformer.py uses this layout)
+
+A v2_packed variant (qkv dense output fed to a packed-qkv kernel whose
+index maps sliced q/k/v blocks in place) was measured here in round 5 but
+Mosaic rejects its block shape; the kernel and the variant were removed
+(see the note at the end of ops/flash_attention.py).
 
 All variants share weights; outputs are cross-checked.  Prints JSON rows.
 """
@@ -55,8 +58,7 @@ def timeit(fn, *args, iters=6):
 def main():
     import jax
     import jax.numpy as jnp
-    from depthmap_tpu.ops.flash_attention import (flash_attention,
-                                                  flash_attention_packed)
+    from depthmap_tpu.ops.flash_attention import flash_attention
 
     cdt = jnp.bfloat16
     rng = np.random.default_rng(0)
@@ -118,14 +120,6 @@ def main():
         t = t + g1 * o
         return t + g2 * mlp_part(ln(t, ln2s, ln2b))
 
-    # ---- v2: packed kernel, zero layout changes
-    def block_v2(t):
-        h = ln(t, ln1s, ln1b)
-        qkv = (h @ wqkv + qkv_bias).reshape(B, N, 3, H, D)
-        o = flash_attention_packed(qkv, bias=bias).reshape(B, N, C)
-        t = t + g1 * (o @ wproj + bproj)
-        return t + g2 * mlp_part(ln(t, ln2s, ln2b))
-
     # ---- ablations of v1: find where the non-matmul time lives
     def block_v1_noln(t):
         h = t
@@ -169,8 +163,7 @@ def main():
 
     rows = []
     outs = {}
-    variants = [("v0_current", block_v0), ("v1_einsum", block_v1),
-                ("v2_packed", block_v2)]
+    variants = [("v0_current", block_v0), ("v1_einsum", block_v1)]
     if os.environ.get("BLOCK_ABLATE", "0") == "1":
         variants += [("v1_noln_nogamma", block_v1_noln),
                      ("v1_noattnkernel", block_v1_noattn),

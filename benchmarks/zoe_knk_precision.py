@@ -58,9 +58,10 @@ def main():
         rng = np.random.default_rng(0)
         x = rng.random((batch, h_net, w_net, 3)).astype(np.float32)
 
-        def run_cfg(tag, env=None, dtype=None):
+        def run_cfg(tag, env=None, val="1", dtype=None):
+            prev = os.environ.get(env) if env else None
             if env:
-                os.environ[env] = "1"
+                os.environ[env] = val
             try:
                 pred = DepthPredictor(mid, params=params,
                                       compute_dtype=dtype)
@@ -68,11 +69,17 @@ def main():
                 fps = xs_fps
             finally:
                 if env:
-                    del os.environ[env]
+                    if prev is None:
+                        del os.environ[env]
+                    else:
+                        os.environ[env] = prev
             return fps, out.astype(np.float64)
 
         fps32, ref = run_cfg("f32", dtype=jnp.float32)
-        fpsbf, obf = run_cfg("bf16_full")
+        # selective became the no-env default (round 5), so whole-model
+        # bf16 (the reference's .half() policy) needs the explicit opt-out
+        fpsbf, obf = run_cfg("bf16_full", env="DEPTHMAP_ZOE_KNK_HEAD_F32",
+                             val="0")
         fpssel, osel = run_cfg("selective", env="DEPTHMAP_ZOE_KNK_HEAD_F32")
 
         def drift(o):

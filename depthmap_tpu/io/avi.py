@@ -117,10 +117,15 @@ def read_gray16_avi(path: str):
         return None
 
     def walk(buf: bytes, pos: int, end: int):
-        """Yield (fourcc, payload_start, payload_len) for chunks in buf."""
+        """Yield (fourcc, payload_start, payload_len) for chunks in buf.
+        Stops at any chunk whose declared payload runs past the buffer
+        (truncated/corrupt file) rather than yielding garbage offsets."""
+        end = min(end, len(buf))
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            if pos + 8 + size > end:
+                return
             yield fourcc, pos + 8, size
             pos += 8 + size + (size % 2)
 
@@ -154,13 +159,16 @@ def read_gray16_avi(path: str):
                     is_y16 = True
                     w, h = bw, abs(bh)
 
-    parse_list(12, len(data))
+    try:
+        parse_list(12, len(data))
+    except (struct.error, ValueError):   # corrupt header fields
+        return None
     if not is_y16 or not w or not h or not frames:
         return None
     fps = (rate / scale) if (rate and scale) else 24.0
     out = []
     for pos, size in frames:
-        if size != w * h * 2:
+        if size != w * h * 2 or pos + size > len(data):
             return None
         arr = np.frombuffer(data, dtype="<u2", count=w * h, offset=pos)
         out.append(arr.reshape(h, w).astype(np.uint16))

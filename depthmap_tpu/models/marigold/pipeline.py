@@ -68,6 +68,9 @@ class MarigoldPipeline:
                 return x
             variables = jax.tree_util.tree_map(_cast, variables)
         self.vars = variables
+        # new weights may be committed to a single device: drop the
+        # replication cache so the next sharded run re-replicates them
+        self._vars_mesh = None
 
     def _random_init(self, seed):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)

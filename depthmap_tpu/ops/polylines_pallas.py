@@ -473,9 +473,14 @@ def polylines_rasterize_pallas(image, normalized_depth, divergence_px: float,
         img = img.reshape(n * h, w, c)
         nd = nd.reshape(n * h, w)
     env = os.environ.get("DEPTHMAP_POLYLINES_SHARD")
+    explicit = shard is not None
     if shard is None:
         shard = env != "0"
-    mesh = _row_mesh(env == "1") if shard else None
+    # an EXPLICIT shard=True must take the shard_map dispatch even on one
+    # device (callers use it to prove the sharded path, e.g. the driver
+    # dryrun's sharded==unsharded check); the auto path only forces a
+    # single-device mesh when DEPTHMAP_POLYLINES_SHARD=1 asks for it
+    mesh = _row_mesh(env == "1" or (explicit and shard)) if shard else None
     if mesh is not None:
         out = _rasterize_rows_sharded(
             img, nd, float(divergence_px), float(separation_px),

@@ -105,8 +105,8 @@ def write_depth_video_16(frames: List[Image.Image], fps: float,
         container.close()
         return True
     except Exception:
-        # close + remove the partial file so the PNG-sequence fallback does
-        # not leave a corrupt .avi next to the good output
+        # close + remove the partial file so the fallback does not leave a
+        # corrupt .avi next to the good output
         if container is not None:
             try:
                 container.close()
@@ -117,7 +117,22 @@ def write_depth_video_16(frames: List[Image.Image], fps: float,
                 os.remove(out_path)
             except OSError:
                 pass
-        return False
+        # pyav present but FFV1 encoding failed (e.g. its ffmpeg build
+        # lacks the encoder): the zero-dep Y16 writer can still produce a
+        # valid 16-bit AVI — "False only if both fail"
+        from depthmap_tpu.io.avi import write_gray16_avi
+        try:
+            write_gray16_avi(
+                [np.asarray(f, dtype=np.uint16) for f in frames], fps,
+                out_path)
+            return True
+        except Exception:
+            if os.path.exists(out_path):
+                try:
+                    os.remove(out_path)
+                except OSError:
+                    pass
+            return False
 
 
 def _write_color_video(arrs: List[np.ndarray], fps: float, path: str,

@@ -79,3 +79,32 @@ def test_writer_rejects_bad_input(tmp_path, rng):
     b = (rng.random((8, 10)) * 65535).astype(np.uint16)
     with pytest.raises(ValueError):
         write_gray16_avi([a, b], 24.0, str(tmp_path / "m.avi"))
+
+
+def test_truncated_file_returns_none(tmp_path, rng):
+    """A partially-written Y16 AVI (disk full, interrupted write) must
+    return None — the video-ingest contract — not raise struct.error or
+    ValueError from chunk sizes pointing past the buffer end."""
+    frames = [(rng.random((24, 32)) * 65535).astype(np.uint16)
+              for _ in range(4)]
+    p = tmp_path / "full.avi"
+    write_gray16_avi(frames, 24.0, str(p))
+    data = p.read_bytes()
+    assert read_gray16_avi(str(p)) is not None
+    # severing frame payloads or headers must yield None
+    for cut in (len(data) // 2, 20, 13):
+        t = tmp_path / f"cut{cut}.avi"
+        t.write_bytes(data[:cut])
+        assert read_gray16_avi(str(t)) is None, cut
+    # severing only the trailing idx1 index keeps all frames readable
+    # (players tolerate a missing index) — and must not raise
+    t = tmp_path / "noidx.avi"
+    t.write_bytes(data[:len(data) - 7])
+    got = read_gray16_avi(str(t))
+    assert got is None or len(got[1]) == len(frames)
+    # corrupt a chunk-size field to a huge value: must not crash either
+    bad = bytearray(data)
+    bad[16:20] = struct.pack("<I", 0x7FFFFFFF)
+    t = tmp_path / "badsize.avi"
+    t.write_bytes(bytes(bad))
+    assert read_gray16_avi(str(t)) is None
