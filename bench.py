@@ -25,10 +25,12 @@ import numpy as np
 
 def bench_depth_fps():
     small = os.environ.get("BENCH_SMALL", "0") == "1"
-    # batch sweep on v5e (round 2): b32 60.2 fps, b16 66.2, b8/b4 72.9 with
-    # the matmul resize — the 512² working set is HBM-friendlier at b8 and
-    # dispatch overhead is already amortized by iters
-    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "8"))
+    # batch re-sweep on v5e after flash kernel v2 + einsum layout (round 5):
+    # b4 81.3, b8 89.9, b16 95.7, b32 94.9 fps — the round-2 b8 optimum
+    # (then: b8 72.9 > b16 66.2) moved to b16 once attention stopped being
+    # the stall: the cheaper kernel leaves the dense matmuls exposed and
+    # they amortize better at the larger batch
+    batch = int(os.environ.get("BENCH_BATCH", "4" if small else "16"))
     iters = int(os.environ.get("BENCH_ITERS", "2" if small else "8"))
     size = 128 if small else 512
     model_id = 6 if small else 1  # midas_small for smoke, beit_large_512 real
